@@ -1,0 +1,341 @@
+"""Shared conv/norm/attention building blocks (Flax linen, NHWC layout).
+
+TPU-first re-designs of the reference building blocks:
+- ConvBNAct / LightConvBNAct           (reference src/d_fine/arch/hgnetv2.py:35-112)
+- LearnableAffineBlock                  (hgnetv2.py:25-32)
+- EseModule                             (hgnetv2.py:169-186)
+- ConvNorm (= ConvNormLayer[_fuse])     (hybrid_encoder.py:21-93) — BN fusion is
+  left to XLA constant folding at inference; no explicit reparam step needed.
+- VGGBlock / CSPLayer / RepNCSPELAN4 / SCDown (hybrid_encoder.py:96-239)
+- MLP                                   (dfine_decoder.py:33-46)
+- MultiHeadAttention                    (plain SDPA; torch nn.MultiheadAttention parity)
+
+All spatial tensors are NHWC (TPU-native layout); torch reference is NCHW.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if name is None or name == "identity":
+        return lambda x: x
+    name = name.lower()
+    if name in ("silu", "swish"):
+        return jax.nn.silu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "leaky_relu":
+        return jax.nn.leaky_relu
+    if name == "gelu":
+        return jax.nn.gelu
+    if name == "hardsigmoid":
+        return jax.nn.hard_sigmoid
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with optional freezing.
+
+    Under pjit/GSPMD the batch statistics are computed over the *global* batch
+    (XLA inserts the cross-device reductions), which subsumes the reference's
+    SyncBatchNorm conversion (train.py:169-170) with zero extra code.
+    """
+
+    frozen: bool = False
+    momentum: float = 0.9  # torch BatchNorm2d default momentum=0.1 => ema decay 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        use_running = (not train) or self.frozen
+        return nn.BatchNorm(
+            use_running_average=use_running,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class LearnableAffineBlock(nn.Module):
+    """Scalar scale*x + bias (reference hgnetv2.py:25-32)."""
+
+    scale_init: float = 1.0
+    bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", lambda k: jnp.full((1,), self.scale_init, jnp.float32))
+        bias = self.param("bias", lambda k: jnp.full((1,), self.bias_init, jnp.float32))
+        return scale.astype(x.dtype) * x + bias.astype(x.dtype)
+
+
+class ConvBNAct(nn.Module):
+    """conv(no bias) -> BN -> ReLU -> optional LAB (reference hgnetv2.py:35-80).
+
+    padding="same2" replicates the torch ZeroPad2d([0,1,0,1]) + valid-conv trick
+    used for the k=2 stem convs.
+    """
+
+    out_chs: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    padding: str = ""  # "" => (k-1)//2 symmetric; "same2" => asymmetric (0,1)
+    use_act: bool = True
+    use_lab: bool = False
+    frozen_norm: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.padding == "same2":
+            pad = [(0, 1), (0, 1)]
+        else:
+            p = (self.kernel_size - 1) // 2
+            pad = [(p, p), (p, p)]
+        x = nn.Conv(
+            self.out_chs,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = BatchNorm(frozen=self.frozen_norm, dtype=self.dtype, name="norm")(x, train=train)
+        if self.use_act:
+            x = jax.nn.relu(x)
+            if self.use_lab:
+                x = LearnableAffineBlock(name="lab")(x)
+        return x
+
+
+class LightConvBNAct(nn.Module):
+    """1x1 conv (no act) + depthwise kxk conv (act) (reference hgnetv2.py:83-112)."""
+
+    out_chs: int
+    kernel_size: int
+    use_lab: bool = False
+    frozen_norm: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = ConvBNAct(
+            self.out_chs, 1, use_act=False, use_lab=self.use_lab,
+            frozen_norm=self.frozen_norm, dtype=self.dtype, name="conv1",
+        )(x, train=train)
+        x = ConvBNAct(
+            self.out_chs, self.kernel_size, groups=self.out_chs, use_act=True,
+            use_lab=self.use_lab, frozen_norm=self.frozen_norm, dtype=self.dtype, name="conv2",
+        )(x, train=train)
+        return x
+
+
+class EseModule(nn.Module):
+    """Effective-SE channel attention (reference hgnetv2.py:169-186)."""
+
+    chs: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.chs, (1, 1), use_bias=True, dtype=self.dtype, name="conv")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class ConvNorm(nn.Module):
+    """conv -> BN -> act (reference ConvNormLayer/_fuse, hybrid_encoder.py:21-93).
+
+    The reference keeps a separate deploy-time conv+BN fusion; on TPU, inference
+    runs with running stats so BN is an affine op XLA folds into the conv —
+    a separate fused parameter set is unnecessary.
+    """
+
+    out_chs: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    padding: Optional[int] = None
+    use_bias: bool = False
+    act: Optional[str] = None
+    frozen_norm: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        p = (self.kernel_size - 1) // 2 if self.padding is None else self.padding
+        x = nn.Conv(
+            self.out_chs,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = BatchNorm(frozen=self.frozen_norm, dtype=self.dtype, name="norm")(x, train=train)
+        return get_activation(self.act)(x)
+
+
+class SCDown(nn.Module):
+    """1x1 conv then depthwise stride-2 conv (reference hybrid_encoder.py:96-103)."""
+
+    out_chs: int
+    kernel_size: int = 3
+    stride: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = ConvNorm(self.out_chs, 1, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        x = ConvNorm(
+            self.out_chs, self.kernel_size, self.stride, groups=self.out_chs,
+            dtype=self.dtype, name="cv2",
+        )(x, train=train)
+        return x
+
+
+class VGGBlock(nn.Module):
+    """RepVGG-style 3x3+1x1 parallel conv (reference hybrid_encoder.py:106-156).
+
+    Kept as two branches at train AND inference: XLA fuses the two convs and the
+    add into one pass; the torch deploy-time kernel merge is a CUDA-latency
+    optimization that buys nothing under XLA.
+    """
+
+    out_chs: int
+    act: Optional[str] = "silu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = ConvNorm(self.out_chs, 3, 1, padding=1, dtype=self.dtype, name="conv1")(x, train=train)
+        y = y + ConvNorm(self.out_chs, 1, 1, padding=0, dtype=self.dtype, name="conv2")(x, train=train)
+        return get_activation(self.act)(y)
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage-partial layer of VGGBlocks (reference hybrid_encoder.py:209-239)."""
+
+    out_chs: int
+    num_blocks: int = 3
+    expansion: float = 1.0
+    act: str = "silu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.out_chs * self.expansion)
+        x1 = ConvNorm(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(x, train=train)
+        for i in range(self.num_blocks):
+            x1 = VGGBlock(hidden, act=self.act, dtype=self.dtype, name=f"bottlenecks_{i}")(x1, train=train)
+        x2 = ConvNorm(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv2")(x, train=train)
+        y = x1 + x2
+        if hidden != self.out_chs:
+            y = ConvNorm(self.out_chs, 1, 1, act=self.act, dtype=self.dtype, name="conv3")(y, train=train)
+        return y
+
+
+class RepNCSPELAN4(nn.Module):
+    """CSP-ELAN fusion block (reference hybrid_encoder.py:182-206)."""
+
+    out_chs: int  # c2
+    c3: int
+    c4: int
+    num_blocks: int = 3
+    act: str = "silu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = ConvNorm(self.c3, 1, 1, act=self.act, dtype=self.dtype, name="cv1")(x, train=train)
+        half = self.c3 // 2
+        y1, y2 = y[..., :half], y[..., half:]
+
+        b2 = CSPLayer(self.c4, self.num_blocks, act=self.act, dtype=self.dtype, name="cv2_csp")(y2, train=train)
+        b2 = ConvNorm(self.c4, 3, 1, act=self.act, dtype=self.dtype, name="cv2_conv")(b2, train=train)
+
+        b3 = CSPLayer(self.c4, self.num_blocks, act=self.act, dtype=self.dtype, name="cv3_csp")(b2, train=train)
+        b3 = ConvNorm(self.c4, 3, 1, act=self.act, dtype=self.dtype, name="cv3_conv")(b3, train=train)
+
+        out = jnp.concatenate([y1, y2, b2, b3], axis=-1)
+        return ConvNorm(self.out_chs, 1, 1, act=self.act, dtype=self.dtype, name="cv4")(out, train=train)
+
+
+class MLP(nn.Module):
+    """num_layers-deep MLP with activation on all but the last layer
+    (reference dfine_decoder.py:33-46)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    act: str = "relu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = get_activation(self.act)
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = act(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard softmax MHA with separate q/k/v inputs and optional boolean mask.
+
+    Parity with torch nn.MultiheadAttention(batch_first=True): mask True = blocked.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,  # [Lq, Lk] bool, True = cannot attend
+    ) -> jnp.ndarray:
+        h, d = self.num_heads, self.embed_dim // self.num_heads
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+
+        def proj(x, name):
+            return nn.Dense(self.embed_dim, dtype=self.dtype, name=name)(x)
+
+        qh = proj(q, "q_proj").reshape(B, Lq, h, d)
+        kh = proj(k, "k_proj").reshape(B, Lk, h, d)
+        vh = proj(v, "v_proj").reshape(B, Lk, h, d)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d)
+        if attn_mask is not None:
+            neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+            logits = jnp.where(attn_mask[None, None, :, :], neg, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(B, Lq, self.embed_dim)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
+
+
+def bias_init_with_prob(prior_prob: float = 0.01) -> float:
+    """Focal-style classification bias init (reference arch/utils.py:76-79)."""
+    return float(-math.log((1 - prior_prob) / prior_prob))

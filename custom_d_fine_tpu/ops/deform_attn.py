@@ -1,0 +1,132 @@
+"""Multi-scale deformable attention core for TPU.
+
+Parity target: reference src/d_fine/arch/utils.py:191-264
+(deformable_attention_core_func_v2). The torch version leans on CUDA
+F.grid_sample; here the same math — per-level bilinear sampling of value maps
+at predicted locations, weighted by softmaxed attention and reduced over
+levels×points — is expressed two ways:
+
+- `ms_deform_attn_xla`: pure-XLA gather of the 4 bilinear corners per sample
+  point (zero-padding semantics of grid_sample align_corners=False), fully
+  differentiable via XLA's scatter-add gradients.
+- a Pallas kernel (ops/pallas/msda.py) for the hot inference path.
+
+`method="discrete"` (integer gather, reference :233-254) is a 1-corner
+special case exposed via the same entry point.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather_level(
+    value_l: jnp.ndarray,   # [B, H*W, n_head, c] for this level
+    loc: jnp.ndarray,       # [B, Lq, n_head, P_l, 2] in [0,1] (x, y)
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Bilinear sample with grid_sample(align_corners=False, padding_mode=zeros)
+    semantics. Returns [B, Lq, n_head, P_l, c]."""
+    B, HW, n_head, c = value_l.shape
+    _, Lq, _, P, _ = loc.shape
+
+    # pixel coordinates: grid_sample align_corners=False maps [0,1] -> [-0.5, W-0.5]
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # value laid out per-head for per-head gathers: [B, n_head, HW, c]
+    v = jnp.swapaxes(value_l, 1, 2)
+
+    def corner(xi, yi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        flat = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # [B, Lq, n_head, P]
+        idx = jnp.transpose(flat, (0, 2, 1, 3)).reshape(B, n_head, Lq * P)
+        g = jnp.take_along_axis(v, idx[..., None], axis=2)  # [B, n_head, Lq*P, c]
+        g = g.reshape(B, n_head, Lq, P, c).transpose(0, 2, 1, 3, 4)
+        w = w * valid.astype(w.dtype)
+        return g * w[..., None]
+
+    out = (
+        corner(x0i, y0i, (1 - tx) * (1 - ty))
+        + corner(x0i + 1, y0i, tx * (1 - ty))
+        + corner(x0i, y0i + 1, (1 - tx) * ty)
+        + corner(x0i + 1, y0i + 1, tx * ty)
+    )
+    return out
+
+
+def _nearest_gather_level(
+    value_l: jnp.ndarray, loc: jnp.ndarray, H: int, W: int
+) -> jnp.ndarray:
+    """'discrete' method: integer gather at round(loc*size - 0.5 + 0.5)
+    (reference :233-254, including its H-only clamp quirk is NOT reproduced —
+    we clamp x to W-1 and y to H-1, the mathematically intended behavior)."""
+    B, HW, n_head, c = value_l.shape
+    _, Lq, _, P, _ = loc.shape
+    xi = jnp.clip((loc[..., 0] * W + 0.5).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip((loc[..., 1] * H + 0.5).astype(jnp.int32), 0, H - 1)
+    flat = yi * W + xi
+    v = jnp.swapaxes(value_l, 1, 2)
+    idx = jnp.transpose(flat, (0, 2, 1, 3)).reshape(B, n_head, Lq * P)
+    g = jnp.take_along_axis(v, idx[..., None], axis=2)
+    return g.reshape(B, n_head, Lq, P, c).transpose(0, 2, 1, 3, 4)
+
+
+def ms_deform_attn_xla(
+    value: jnp.ndarray,                  # [B, Len_v, n_head, c] (levels concatenated)
+    spatial_shapes: Sequence[Tuple[int, int]],  # static [(H, W), ...]
+    sampling_locations: jnp.ndarray,     # [B, Lq, n_head, P_total, 2] in [0,1]
+    attention_weights: jnp.ndarray,      # [B, Lq, n_head, P_total] (softmaxed)
+    num_points_list: Sequence[int],
+    method: str = "default",
+) -> jnp.ndarray:
+    """Returns [B, Lq, n_head * c]."""
+    B, Len_v, n_head, c = value.shape
+    Lq = sampling_locations.shape[1]
+
+    level_sizes = [h * w for h, w in spatial_shapes]
+    assert sum(level_sizes) == Len_v, (spatial_shapes, Len_v)
+
+    out = jnp.zeros((B, Lq, n_head, c), dtype=value.dtype)
+    v_off = 0
+    p_off = 0
+    for (H, W), P in zip(spatial_shapes, num_points_list):
+        value_l = jax.lax.slice_in_dim(value, v_off, v_off + H * W, axis=1)
+        loc = jax.lax.slice_in_dim(sampling_locations, p_off, p_off + P, axis=3)
+        w = jax.lax.slice_in_dim(attention_weights, p_off, p_off + P, axis=3)
+        if method == "discrete":
+            sampled = _nearest_gather_level(value_l, loc, H, W)
+        else:
+            sampled = _bilinear_gather_level(value_l, loc, H, W)
+        out = out + jnp.sum(sampled * w[..., None], axis=3)
+        v_off += H * W
+        p_off += P
+
+    return out.reshape(B, Lq, n_head * c)
+
+
+def ms_deform_attn(
+    value, spatial_shapes, sampling_locations, attention_weights, num_points_list,
+    method: str = "default", impl: str = "xla",
+):
+    """Dispatch between implementations (reference keeps a similar method switch
+    at arch/utils.py:90-98)."""
+    if impl == "pallas":
+        from .pallas.msda import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights, num_points_list
+        )
+    return ms_deform_attn_xla(
+        value, spatial_shapes, sampling_locations, attention_weights, num_points_list, method
+    )

@@ -1,0 +1,126 @@
+"""Jitted train/eval steps over a device mesh.
+
+Parity target: the reference hot loop (src/dl/train.py:505-604): AMP forward,
+loss sum / b_accum_steps, clip, step, scheduler, EMA — re-expressed as one pure
+function under jax.jit with GSPMD sharding. bf16 compute replaces torch AMP
+(loss math stays fp32 as in the reference, train.py:569-575, because the
+criterion computes in fp32 on fp32-cast logits). DDP's implicit gradient
+all-reduce is replaced by batch sharding: XLA inserts the reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from .criterion import DFINECriterion
+from .ema import ema_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Any          # {"params": ..., "batch_stats": ...} or None
+    step: jnp.ndarray  # opt-step counter (int32)
+
+
+def create_train_state(variables: Dict, tx: optax.GradientTransformation,
+                       use_ema: bool = True) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    ema = None
+    if use_ema:
+        ema = {
+            "params": jax.tree_util.tree_map(jnp.asarray, params),
+            "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats),
+        }
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema=ema,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model,
+    criterion: DFINECriterion,
+    tx: optax.GradientTransformation,
+    ema_momentum: float = 0.9998,
+    b_accum_steps: int = 1,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch = {"images": [B,H,W,3] f32, "labels": [B,G] i32,
+             "boxes": [B,G,4] f32 cxcywh-normalized, "valid": [B,G] bool,
+             optional "masks": [B,G,Hm,Wm]}
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        targets = {k: batch[k] for k in ("labels", "boxes", "valid") if k in batch}
+        if "masks" in batch:
+            targets["masks"] = batch["masks"]
+
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"],
+                targets=targets,
+                train=True,
+                rngs={"dn": rng},
+                mutable=["batch_stats"],
+            )
+            losses = criterion(outputs, targets)
+            total = jnp.sum(jnp.stack(list(losses.values())))
+            return total, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
+
+        new_ema = state.ema
+        if state.ema is not None:
+            opt_iters = new_step // b_accum_steps
+            is_update = (new_step % b_accum_steps) == 0 if b_accum_steps > 1 else True
+            ema_next = ema_update(
+                state.ema, {"params": new_params, "batch_stats": new_bs},
+                opt_iters, ema_momentum,
+            )
+            if b_accum_steps > 1:
+                ema_next = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(is_update, n, o), ema_next, state.ema
+                )
+            new_ema = ema_next
+
+        metrics = {"total_loss": total, "grad_norm": optax.global_norm(grads)}
+        metrics.update(losses)
+        return (
+            TrainState(new_params, new_bs, new_opt_state, new_ema, new_step),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, use_ema: bool = True):
+    """eval_step(state, images) -> raw eval-mode outputs (reference
+    train.py:396-400: inference on the EMA model under autocast)."""
+
+    def eval_step(state: TrainState, images: jnp.ndarray):
+        if use_ema and state.ema is not None:
+            variables = {"params": state.ema["params"], "batch_stats": state.ema["batch_stats"]}
+        else:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, images, train=False)
+
+    return eval_step
