@@ -316,10 +316,10 @@ class DFINECriterion:
         aux_sets = list(outputs.get("aux_outputs", []))
         sets = [outputs] + aux_sets + [outputs["pre_outputs"]] + list(outputs["enc_aux_outputs"])
         G = targets["labels"].shape[1]
-        k_cap = self.go_cap or min(len(sets) * G, self.num_queries)
-        assign, go_q, go_g, n_go = match_all_sets(sets, targets, mcfg, k_cap)
+        assign, go_g, go_valid = match_all_sets(sets, targets, mcfg)
 
         B = targets["labels"].shape[0]
+        Q = outputs["pred_logits"].shape[1]
         g_base = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None], (B, G))
 
         def to_match(a):  # a [B,G]
@@ -330,12 +330,12 @@ class DFINECriterion:
         match_aux = [to_match(assign[1 + i]) for i in range(n_aux)]
         match_pre = to_match(assign[1 + n_aux])
         match_enc = [to_match(assign[2 + n_aux + i]) for i in range(len(outputs["enc_aux_outputs"]))]
-        k_iota = jnp.broadcast_to(jnp.arange(k_cap, dtype=jnp.int32)[None], (B, k_cap))
-        match_go = {"q": go_q, "g": go_g, "valid": k_iota < n_go[:, None]}
+        q_iota = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[None], (B, Q))
+        match_go = {"q": q_iota, "g": go_g, "valid": go_valid}
 
         # normalizers: global sums (GSPMD reduces across devices automatically)
         num_boxes = jnp.maximum(targets["valid"].sum().astype(jnp.float32), 1.0)
-        num_boxes_go = jnp.maximum(n_go.sum().astype(jnp.float32), 1.0)
+        num_boxes_go = jnp.maximum(go_valid.sum().astype(jnp.float32), 1.0)
 
         losses: Dict[str, jnp.ndarray] = {}
 

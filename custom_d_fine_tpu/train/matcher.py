@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..configs.registry import MatcherConfig
 from ..ops.boxes import box_cxcywh_to_xyxy, generalized_box_iou_pairwise
-from ..ops.hungarian import batched_hungarian_with_go
+from ..ops.lapjv import batched_assignment, go_union
 
 
 def matching_cost(
@@ -63,11 +63,15 @@ def match_all_sets(
     output_sets: List[Dict[str, jnp.ndarray]],  # set 0 MUST be the final layer
     targets: Dict[str, jnp.ndarray],
     cfg: MatcherConfig,
-    k_go_cap: int,
 ):
-    """Compute costs for every output set and solve them in one host callback.
+    """Compute costs for every output set and solve them ON DEVICE with the
+    exact LAPJV solver (ops/lapjv.py) — no host round-trip (the TPU runtime
+    here does not support callbacks, and a sync would stall the step anyway).
 
-    Returns (assign [S, B, G], go_q, go_g [B, K], n_go [B]).
+    Returns:
+      assign [S, B, G]  — query index matched to each gt slot (-1 invalid),
+      go_g [B, Q]       — per-query GO-union gt index,
+      go_valid [B, Q]   — per-query GO-union validity.
     """
     costs = jnp.stack(
         [
@@ -76,7 +80,12 @@ def match_all_sets(
             for o in output_sets
         ],
         axis=0,
-    )
+    )  # [S, B, Q, G]
     n_valid = targets["valid"].sum(-1).astype(jnp.int32)
     costs = jax.lax.stop_gradient(costs)
-    return batched_hungarian_with_go(costs, n_valid, k_go_cap)
+    # mask invalid gt columns so they never attract a query
+    costs = jnp.where(targets["valid"][None, :, None, :], costs, 1e6)
+    assign = batched_assignment(costs, n_valid)  # [S, B, G]
+    num_queries = output_sets[0]["pred_logits"].shape[1]
+    go_g, go_valid = go_union(assign, targets["valid"], num_queries)
+    return assign, go_g, go_valid

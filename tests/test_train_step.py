@@ -1,0 +1,80 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_d_fine_tpu.models.dfine import build_model
+from custom_d_fine_tpu.train.criterion import DFINECriterion
+from custom_d_fine_tpu.train.optim import build_optimizer
+from custom_d_fine_tpu.train.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+from helpers import make_targets, tiny_config
+
+IMG = 160
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model, variables = build_model(cfg, num_classes=4, img_size=(IMG, IMG), train_batch=2)
+    criterion = DFINECriterion(cfg.criterion, cfg.matcher, num_classes=4,
+                               num_queries=cfg.decoder.num_queries)
+    tx = build_optimizer(
+        variables["params"], cfg,
+        base_lr=2.5e-4, backbone_lr=6e-5, total_steps=100,
+    )
+    state = create_train_state(variables, tx, use_ema=True)
+    return cfg, model, criterion, tx, state
+
+
+def _batch(cfg, rng):
+    x = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    t = make_targets(2, cfg.max_gt, 4, rng)
+    return {"images": jnp.asarray(x), **t}
+
+
+def test_train_step_runs_and_updates(setup):
+    cfg, model, criterion, tx, state = setup
+    rng = np.random.default_rng(0)
+    step_fn = jax.jit(make_train_step(model, criterion, tx))
+    batch = _batch(cfg, rng)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state.step) == 1
+    # params must move
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # all expected loss families present
+    keys = set(metrics.keys())
+    for want in ("loss_vfl", "loss_bbox", "loss_giou", "loss_fgl",
+                 "loss_vfl_aux_0", "loss_vfl_pre", "loss_vfl_enc_0",
+                 "loss_vfl_dn_0", "loss_fgl_dn_0", "loss_ddf_aux_0"):
+        assert want in keys, f"missing {want}: {sorted(keys)[:20]}"
+    # second step: loss stays finite
+    new_state2, metrics2 = step_fn(new_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics2["total_loss"]))
+
+
+def test_eval_step_uses_ema(setup):
+    cfg, model, criterion, tx, state = setup
+    eval_fn = jax.jit(make_eval_step(model, use_ema=True))
+    out = eval_fn(state, jnp.zeros((1, IMG, IMG, 3), jnp.float32))
+    assert out["pred_boxes"].shape == (1, cfg.decoder.num_queries, 4)
+
+
+def test_empty_batch_no_nans(setup):
+    """Zero valid GTs in the whole batch must not produce NaN losses."""
+    cfg, model, criterion, tx, state = setup
+    rng = np.random.default_rng(1)
+    batch = _batch(cfg, rng)
+    batch["valid"] = jnp.zeros_like(batch["valid"])
+    step_fn = jax.jit(make_train_step(model, criterion, tx))
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"])), metrics
