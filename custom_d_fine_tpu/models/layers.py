@@ -36,7 +36,8 @@ def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name == "leaky_relu":
         return jax.nn.leaky_relu
     if name == "gelu":
-        return jax.nn.gelu
+        # torch nn.GELU() is the exact erf form, not the tanh approximation
+        return lambda x: jax.nn.gelu(x, approximate=False)
     if name == "hardsigmoid":
         return jax.nn.hard_sigmoid
     raise ValueError(f"unknown activation {name!r}")

@@ -1,0 +1,232 @@
+"""Numerical parity harness: reference torch model vs this framework.
+
+Builds the PyTorch reference model (from /root/reference, CPU, random init),
+converts its state_dict with utils/torch_convert.py, runs both models on the
+same input, and compares stage-by-stage outputs (backbone -> encoder ->
+decoder). This validates every architectural detail (stem padding, ESE/SE
+aggregation, AIFI pos-embed ordering, gate, Integral/W(n), deformable
+sampling) against the reference implementation — the SURVEY.md §7 step-2
+success criterion (logits matching to ~1e-4).
+
+Usage: JAX on CPU. Run:  python tools/parity_check.py [size] [img]
+"""
+
+import sys
+import types
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+# ---- stub the reference's unavailable deps before importing it ----
+
+
+def _install_stubs():
+    if "loguru" not in sys.modules:
+        log = types.ModuleType("loguru")
+
+        class _L:
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        log.logger = _L()
+        sys.modules["loguru"] = log
+
+    if "torchvision" not in sys.modules:
+        import torch
+
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+        boxes_mod = types.ModuleType("torchvision.ops.boxes")
+
+        def box_area(b):
+            return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+        boxes_mod.box_area = box_area
+        ops.boxes = boxes_mod
+
+        def sigmoid_focal_loss(inputs, targets, alpha=0.25, gamma=2, reduction="none"):
+            p = torch.sigmoid(inputs)
+            ce = torch.nn.functional.binary_cross_entropy_with_logits(
+                inputs, targets, reduction="none"
+            )
+            p_t = p * targets + (1 - p) * (1 - targets)
+            loss = ce * ((1 - p_t) ** gamma)
+            if alpha >= 0:
+                a_t = alpha * targets + (1 - alpha) * (1 - targets)
+                loss = a_t * loss
+            return loss
+
+        ops.sigmoid_focal_loss = sigmoid_focal_loss
+        tv.ops = ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = ops
+        sys.modules["torchvision.ops.boxes"] = boxes_mod
+
+
+def main(size="n", img=256):
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    _install_stubs()
+    import torch
+
+    torch.manual_seed(0)
+
+    sys.path.insert(0, "/root/reference")
+    from src.d_fine.configs import models as ref_models
+    from src.d_fine.arch.hgnetv2 import HGNetv2 as RefBackbone
+    from src.d_fine.arch.hybrid_encoder import HybridEncoder as RefEncoder
+    from src.d_fine.arch.dfine_decoder import DFINETransformer as RefDecoder
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from custom_d_fine_tpu.configs import get_model_config
+    from custom_d_fine_tpu.models.dfine import build_model
+    from custom_d_fine_tpu.utils.torch_convert import convert_torch_state
+
+    num_classes = 4
+    mc = dict(ref_models[size])
+
+    ref_bb = RefBackbone(**{**mc["HGNetv2"], "pretrained": False})
+    ref_enc = RefEncoder(**mc["HybridEncoder"], eval_spatial_size=[img, img])
+    ref_dec = RefDecoder(num_classes=num_classes, **mc["DFINETransformer"],
+                         eval_spatial_size=[img, img])
+
+    class RefModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone, self.encoder, self.decoder = ref_bb, ref_enc, ref_dec
+
+        def forward(self, x):
+            f = self.backbone(x)
+            e = self.encoder(f)
+            return f, e, self.decoder(e)
+
+    ref = RefModel().eval()
+
+    cfg = get_model_config(size)
+    model, variables = build_model(cfg, num_classes=num_classes, img_size=(img, img),
+                                   train_batch=1)
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats, report = convert_torch_state(
+        state, variables["params"], variables["batch_stats"]
+    )
+    print(f"conversion: unmatched={len(report['unmatched'])} "
+          f"shape_mismatch={len(report['shape_mismatch'])} missed={len(report['missed'])}")
+    for item in report["unmatched"][:15]:
+        print("  UNMATCHED:", item)
+    for item in report["shape_mismatch"][:15]:
+        print("  SHAPE:", item)
+    for item in report["missed"][:15]:
+        print("  MISSED:", item)
+
+    variables = {"params": params, "batch_stats": stats}
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, img, img)).astype(np.float32) * 0.5 + 0.5
+    with torch.no_grad():
+        tf, te, tout = ref(torch.from_numpy(x))
+
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    # NOTE on methodology: a random-init deep net collapses activations to
+    # ~1e-4 at the backbone output, and the transformer LayerNorms then
+    # amplify float-noise by 1/std ~ 1e4, which makes END-TO-END comparison
+    # meaningless without trained weights. Each stage is therefore compared on
+    # O(1) synthetic inputs (where LayerNorm conditioning is healthy); the
+    # backbone is compared on the real image (absolute tolerance).
+
+    from custom_d_fine_tpu.models.hgnetv2 import HGNetv2
+    from custom_d_fine_tpu.models.hybrid_encoder import HybridEncoder
+    from custom_d_fine_tpu.models.decoder import DFINETransformer
+
+    b, e, d = cfg.backbone, cfg.encoder, cfg.decoder
+    bb = HGNetv2(arch=b.name, return_idx=b.return_idx, use_lab=b.use_lab,
+                 freeze_norm=b.freeze_norm)
+    jf = jax.jit(lambda v, x: bb.apply(v, x, train=False))(
+        {"params": params["backbone"], "batch_stats": stats["backbone"]}, x_nhwc
+    )
+
+    def cmp(name, tt, jj_nhwc, tol=1e-4):
+        tt = tt.numpy() if hasattr(tt, "numpy") else tt
+        jj = np.asarray(jj_nhwc)
+        if jj.ndim == 4:
+            jj = jj.transpose(0, 3, 1, 2)
+        diff = np.abs(tt - jj).max()
+        rel = diff / (np.abs(tt).max() + 1e-9)
+        print(f"{name}: max_abs_diff={diff:.3e} rel={rel:.3e} "
+              f"{'OK' if rel < tol else 'FAIL'}")
+        return rel < tol
+
+    ok = True
+    for i, (tt, jj) in enumerate(zip(tf, jf)):
+        ok &= cmp(f"backbone[{i}] (real image)", tt, jj, tol=1e-4)
+
+    # ---- encoder on O(1) synthetic features ----
+    feats_np = [
+        rng.normal(size=(1, c, img // s, img // s)).astype(np.float32)
+        for c, s in zip(e.in_channels, e.feat_strides)
+    ]
+    enc = HybridEncoder(
+        in_channels=e.in_channels, feat_strides=e.feat_strides, hidden_dim=e.hidden_dim,
+        nhead=e.nhead, dim_feedforward=e.dim_feedforward, enc_act=e.enc_act,
+        use_encoder_idx=e.use_encoder_idx, num_encoder_layers=e.num_encoder_layers,
+        pe_temperature=e.pe_temperature, expansion=e.expansion, depth_mult=e.depth_mult,
+        act=e.act,
+    )
+    with torch.no_grad():
+        te_syn = ref.encoder([torch.from_numpy(f) for f in feats_np])
+    je_syn = jax.jit(lambda v, f: enc.apply(v, f, train=False))(
+        {"params": params["encoder"], "batch_stats": stats["encoder"]},
+        [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_np],
+    )
+    for i, (tt, jj) in enumerate(zip(te_syn, je_syn)):
+        ok &= cmp(f"encoder[{i}] (synthetic)", tt, jj)
+
+    # ---- decoder on O(1) synthetic PAN features ----
+    dec_feats_np = [
+        rng.normal(size=(1, c, img // s, img // s)).astype(np.float32)
+        for c, s in zip(d.feat_channels, d.feat_strides)
+    ]
+    dec = DFINETransformer(
+        num_classes=num_classes, hidden_dim=d.hidden_dim, num_queries=d.num_queries,
+        feat_channels=d.feat_channels, feat_strides=d.feat_strides,
+        num_levels=d.num_levels, num_points=d.num_points, nhead=d.nhead,
+        num_layers=d.num_layers, dim_feedforward=d.dim_feedforward,
+        activation=d.activation, num_denoising=d.num_denoising,
+        eval_idx=d.eval_idx, eps=d.eps, reg_max=d.reg_max, reg_scale=d.reg_scale,
+    )
+    with torch.no_grad():
+        t_dec = ref.decoder([torch.from_numpy(f) for f in dec_feats_np])
+    j_dec = jax.jit(lambda v, f: dec.apply(v, f, train=False))(
+        {"params": params["decoder"], "batch_stats": stats.get("decoder", {})},
+        [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in dec_feats_np],
+    )
+    ok &= cmp("decoder logits (synthetic)", t_dec["pred_logits"].numpy(),
+              np.asarray(j_dec["pred_logits"]), tol=1e-3)
+    ok &= cmp("decoder boxes (synthetic)", t_dec["pred_boxes"].numpy(),
+              np.asarray(j_dec["pred_boxes"]), tol=1e-3)
+
+    # ---- info only: full pipeline on the real image (conditioning-limited) ----
+    jout = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x_nhwc)
+    cmp("e2e logits (info only)", tout["pred_logits"].numpy(),
+        np.asarray(jout["pred_logits"]), tol=np.inf)
+    cmp("e2e boxes (info only)", tout["pred_boxes"].numpy(),
+        np.asarray(jout["pred_boxes"]), tol=np.inf)
+
+    print("PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    size = sys.argv[1] if len(sys.argv) > 1 else "n"
+    img = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    raise SystemExit(main(size, img))
