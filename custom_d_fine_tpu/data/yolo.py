@@ -11,7 +11,7 @@ from pathlib import Path
 from typing import List, Tuple
 
 import numpy as np
-from loguru import logger
+from ..utils.logging import logger
 
 
 def parse_yolo_label_file(path: Path) -> Tuple[np.ndarray, List[np.ndarray]]:
