@@ -35,9 +35,11 @@ def create_train_state(variables: Dict, tx: optax.GradientTransformation,
     batch_stats = variables.get("batch_stats", FrozenDict())
     ema = None
     if use_ema:
+        # real copies: ema must NOT alias params/batch_stats buffers, or a
+        # donated train step would donate the same buffer twice
         ema = {
-            "params": jax.tree_util.tree_map(jnp.asarray, params),
-            "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats),
+            "params": jax.tree_util.tree_map(jnp.copy, params),
+            "batch_stats": jax.tree_util.tree_map(jnp.copy, batch_stats),
         }
     return TrainState(
         params=params,

@@ -1,0 +1,383 @@
+"""Training orchestration: loaders -> sharded jitted train step -> eval -> ckpt.
+
+Parity target: reference src/dl/train.py:76-752 (Trainer): per-epoch loop with
+EMA eval, decision-metric model selection, early stopping (rank-0 decision —
+here just replicated host control flow), mosaic-close and background-inclusion
+epoch hooks, metric CSV logging, ETA reporting.
+
+TPU redesign:
+- one jitted train step over a jax.sharding.Mesh (DP over ICI); no DDP wrapper,
+  no GradScaler (bf16 does not need loss scaling), no SyncBatchNorm (GSPMD
+  batch stats are global already);
+- orbax checkpoints carry the FULL train state (params/opt/EMA/step) so
+  mid-run resume works — the reference only saves model weights
+  (train.py:476-503) and cannot resume;
+- eval postprocessing (reference preds_postprocess, train.py:239-332) runs the
+  flat top-K on device and the conf filter + letterbox unmapping on host.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..configs.registry import get_model_config
+from ..data.augs import AugConfig
+from ..data.loader import Loader
+from ..data.mosaic import MosaicConfig
+from ..data.letterbox import unletterbox_boxes_abs
+from ..eval.validator import Validator
+from ..models.dfine import DFINE, apply_reference_init, build_model
+from ..ops.postprocess import topk_detections
+from ..parallel.mesh import make_mesh
+from ..utils.logging import logger
+from ..utils.torch_convert import (
+    convert_torch_state,
+    load_torch_checkpoint_file,
+    remap_obj365_head,
+)
+from .criterion import DFINECriterion
+from .optim import build_optimizer
+from .train_step import TrainState, create_train_state, make_eval_step, make_train_step
+
+try:
+    import orbax.checkpoint as ocp
+except Exception:  # pragma: no cover
+    ocp = None
+
+
+def unletterbox_or_resize_boxes(boxes_canvas_xyxy, lb: Dict, orig_h: int, orig_w: int):
+    """Map canvas-abs xyxy boxes back to the original image (reference
+    dl/utils.py process_boxes)."""
+    if lb.get("ratio") is not None:
+        return unletterbox_boxes_abs(boxes_canvas_xyxy, lb, orig_h, orig_w)
+    b = boxes_canvas_xyxy.copy()
+    b[:, [0, 2]] = np.clip(b[:, [0, 2]] / lb["ratio_x"], 0, orig_w)
+    b[:, [1, 3]] = np.clip(b[:, [1, 3]] / lb["ratio_y"], 0, orig_h)
+    return b
+
+
+class Trainer:
+    def __init__(self, cfg: Dict, model_cfg_override=None):
+        self.cfg = cfg
+        self._model_cfg_override = model_cfg_override
+        t = cfg["train"]
+        self.task = cfg.get("task", "detect")
+        self.enable_mask_head = self.task == "segment"
+        self.label_to_name = {int(k): v for k, v in t["label_to_name"].items()}
+        self.num_labels = len(self.label_to_name)
+        self.img_size = tuple(t["img_size"])
+        self.epochs = t["epochs"]
+        self.b_accum_steps = max(int(t.get("b_accum_steps", 1)), 1)
+        self.conf_thresh = t["conf_thresh"]
+        self.iou_thresh = t["iou_thresh"]
+        self.early_stopping = t.get("early_stopping", 0)
+        self.ignore_background_epochs = t.get("ignore_background_epochs", 0)
+        self.no_mosaic_epochs = t["mosaic_augs"]["no_mosaic_epochs"]
+        self.use_ema = t.get("use_ema", True)
+        self.decision_metrics = list(t.get("decision_metrics", ["f1"]))
+        if self.enable_mask_head:
+            self.decision_metrics = [
+                m + "_mask" if m.startswith("mAP_50") else m for m in self.decision_metrics
+            ]
+        self.path_to_save = Path(t["path_to_save"])
+        self.path_to_save.mkdir(parents=True, exist_ok=True)
+        logger.add(self.path_to_save / "train_log.txt")
+        logger.info(f"Experiment: {cfg.get('exp', 'exp')}, Task: {self.task}")
+
+        self.dtype = jnp.bfloat16 if t.get("dtype") == "bfloat16" else None
+
+        # ---- data ----
+        self.model_cfg = self._model_cfg_override or get_model_config(
+            cfg["model_name"], enable_mask_head=self.enable_mask_head,
+            max_gt=int(t.get("max_gt", 100)),
+        )
+        self.loader = Loader(
+            root_path=Path(t["data_path"]),
+            img_size=self.img_size,
+            batch_size=t["batch_size"],
+            num_workers=t.get("num_workers", 4),
+            max_gt=self.model_cfg.max_gt,
+            task=self.task,
+            keep_ratio=t.get("keep_ratio", False),
+            use_one_class=t.get("use_one_class", False),
+            aug_cfg=AugConfig(**t["augs"]),
+            mosaic_cfg=MosaicConfig(**{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in t["mosaic_augs"].items()
+            }),
+            multiscale_prob=t["augs"].get("multiscale_prob", 0.0),
+            seed=t.get("seed", 42),
+            label_to_name=self.label_to_name,
+        )
+        if self.ignore_background_epochs:
+            self.loader.datasets["train"].ignore_background = True
+
+        # ---- model ----
+        self.model, variables = build_model(
+            self.model_cfg, num_classes=self.num_labels, img_size=self.img_size,
+            rng=jax.random.PRNGKey(t.get("seed", 42)),
+            train_batch=2, dtype=self.dtype,
+        )
+        if t.get("pretrained_model_path"):
+            variables = self._load_pretrained(variables, t["pretrained_model_path"])
+
+        self.criterion = DFINECriterion(
+            self.model_cfg.criterion, self.model_cfg.matcher,
+            num_classes=self.num_labels,
+            num_queries=self.model_cfg.decoder.num_queries,
+        )
+
+        steps_per_epoch = max(len(self.loader.epoch_iterator("train")) // self.b_accum_steps, 1)
+        self.tx = build_optimizer(
+            variables["params"], self.model_cfg,
+            base_lr=t["base_lr"], backbone_lr=t["backbone_lr"],
+            weight_decay=t.get("weight_decay", 0.000125),
+            betas=tuple(t.get("betas", (0.9, 0.999))),
+            total_steps=steps_per_epoch * self.epochs,
+            pct_start=t.get("cycler_pct_start", 0.1),
+            use_scheduler=t.get("use_scheduler", True),
+            clip_max_norm=t.get("clip_max_norm", 0.1),
+            b_accum_steps=self.b_accum_steps,
+            enable_mask_head=self.enable_mask_head,
+        )
+        self.state = create_train_state(variables, self.tx, use_ema=self.use_ema)
+
+        # ---- mesh + jitted steps ----
+        self.mesh = make_mesh()
+        self.repl = NamedSharding(self.mesh, P())
+        self.data_spec = NamedSharding(self.mesh, P("data"))
+        self.state = jax.device_put(self.state, self.repl)
+        self.train_step = jax.jit(
+            make_train_step(self.model, self.criterion, self.tx,
+                            ema_momentum=t.get("ema_momentum", 0.9998),
+                            b_accum_steps=self.b_accum_steps),
+            donate_argnums=(0,),
+        )
+        eval_raw = make_eval_step(self.model, use_ema=self.use_ema)
+
+        def _eval(state, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            out = eval_raw(state, x)
+            dets = topk_detections(
+                out["pred_logits"], out["pred_boxes"], 300,
+                (images_u8.shape[1], images_u8.shape[2]),
+                pred_masks=out.get("pred_masks"),
+            )
+            return dets
+
+        self.eval_step = jax.jit(_eval)
+
+        self.best_metric = -1.0
+        self.epochs_no_improve = 0
+        self.ckpt = ocp.StandardCheckpointer() if ocp is not None else None
+
+    # ------------------------------------------------------------ pretrained
+
+    def _load_pretrained(self, variables, path: str):
+        """reference load_tuning_state (d_fine/utils.py:156-181) + obj365 remap."""
+        logger.info(f"Loading pretrained weights from {path}")
+        state = load_torch_checkpoint_file(path)
+        state = remap_obj365_head(state, self.num_labels)
+        params, stats, report = convert_torch_state(
+            state, variables["params"], variables["batch_stats"]
+        )
+        n_bad = len(report["unmatched"]) + len(report["shape_mismatch"])
+        logger.info(
+            f"Pretrained load: {len(report['missed'])} missed, {n_bad} unmatched/mismatched"
+        )
+        return {"params": params, "batch_stats": stats}
+
+    # ------------------------------------------------------------ train loop
+
+    def _shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        arrays = {k: batch[k] for k in ("images", "labels", "boxes", "valid")}
+        if "masks" in batch:
+            arrays["masks"] = batch["masks"]
+        return {k: jax.device_put(v, self.data_spec) for k, v in arrays.items()}
+
+    def train(self):
+        t0 = time.time()
+        metrics_history: List[Dict] = []
+        rng = jax.random.PRNGKey(self.cfg["train"].get("seed", 42))
+
+        for epoch in range(1, self.epochs + 1):
+            if epoch == self.epochs - self.no_mosaic_epochs + 1:
+                logger.info("Closing mosaic augmentation")
+                self.loader.datasets["train"].close_mosaic()
+            if self.ignore_background_epochs and epoch == self.ignore_background_epochs + 1:
+                self.loader.datasets["train"].ignore_background = False
+                logger.info("Including background images")
+
+            epoch_losses = []
+            it = self.loader.epoch_iterator("train", epoch=epoch)
+            n_batches = len(it)
+            t_epoch = time.time()
+            for i, batch in enumerate(it):
+                if batch["images"].shape[0] % self.mesh.size != 0:
+                    continue  # keep the global batch divisible over the mesh
+                rng, step_rng = jax.random.split(rng)
+                gpu_batch = self._shard_batch(batch)
+                # normalize on device (images stay uint8 on the wire)
+                gpu_batch["images"] = gpu_batch["images"].astype(jnp.float32) / 255.0
+                self.state, m = self.train_step(self.state, gpu_batch, step_rng)
+                # fetch the scalar only at logging points — on this TPU tunnel
+                # a host fetch costs ~30ms, so per-step fetches would dominate
+                if i % 50 == 0 or i == n_batches - 1:
+                    loss_val = float(m["total_loss"])
+                    epoch_losses.append(loss_val)
+                    dt = time.time() - t_epoch
+                    eta = dt / (i + 1) * (n_batches - i - 1)
+                    logger.info(
+                        f"epoch {epoch}/{self.epochs} step {i}/{n_batches} "
+                        f"loss {loss_val:.3f} eta {eta/60:.1f}m"
+                    )
+
+            metrics = self.evaluate("val")
+            metrics["epoch"] = epoch
+            metrics["train_loss"] = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+            metrics_history.append(metrics)
+            self._log_metrics(metrics)
+            self._save_and_maybe_stop(metrics)
+            if self.early_stopping and self.epochs_no_improve >= self.early_stopping:
+                logger.info("Early stopping triggered")
+                break
+
+        logger.info(f"Training finished in {(time.time() - t0) / 60:.1f} min")
+        self._write_csv(metrics_history, self.path_to_save / "metrics.csv")
+        return metrics_history
+
+    # ------------------------------------------------------------ evaluation
+
+    def evaluate(self, split: str, extended: bool = False) -> Dict[str, float]:
+        preds, gts = self.get_preds_and_gt(split)
+        if not gts:
+            return {}
+        validator = Validator(
+            gts, preds, self.label_to_name,
+            conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
+        )
+        self._last_validator = validator
+        return validator.compute_metrics(extended=extended)
+
+    def get_preds_and_gt(self, split: str) -> Tuple[List[Dict], List[Dict]]:
+        """reference get_preds_and_gt (train.py:376-434): EMA inference,
+        postprocess to original image coordinates."""
+        preds: List[Dict] = []
+        gts: List[Dict] = []
+        for batch in self.loader.epoch_iterator(split, shuffle=False, drop_last=False):
+            dets = self.eval_step(self.state, jnp.asarray(batch["images"]))
+            dets = {k: np.asarray(v) for k, v in dets.items()}
+            B = batch["images"].shape[0]
+            H, W = batch["images"].shape[1:3]
+            for b in range(B):
+                lb = batch["letterbox"][b]
+                oh, ow = (int(x) for x in batch["orig_sizes"][b])
+                boxes = unletterbox_or_resize_boxes(dets["boxes"][b], lb, oh, ow)
+                scores = dets["scores"][b]
+                labels = dets["labels"][b]
+                keep = scores >= self.conf_thresh
+                pred = {
+                    "boxes": boxes[keep], "labels": labels[keep], "scores": scores[keep],
+                    "all_boxes": boxes, "all_labels": labels, "all_scores": scores,
+                }
+                preds.append(pred)
+
+                v = batch["valid"][b]
+                gb = batch["boxes"][b][v]  # normalized cxcywh on canvas
+                if len(gb):
+                    xyxy = np.stack([
+                        (gb[:, 0] - gb[:, 2] / 2) * W, (gb[:, 1] - gb[:, 3] / 2) * H,
+                        (gb[:, 0] + gb[:, 2] / 2) * W, (gb[:, 1] + gb[:, 3] / 2) * H,
+                    ], 1)
+                    xyxy = unletterbox_or_resize_boxes(xyxy, lb, oh, ow)
+                else:
+                    xyxy = np.zeros((0, 4), np.float32)
+                gts.append({"boxes": xyxy, "labels": batch["labels"][b][v]})
+        return preds, gts
+
+    # ------------------------------------------------------------ checkpoint
+
+    def _ckpt_tree(self):
+        return {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "ema": self.state.ema,
+            "step": self.state.step,
+        }
+
+    def save_checkpoint(self, name: str, full: bool = False):
+        if self.ckpt is None:
+            return
+        path = (self.path_to_save / name).absolute()
+        tree = self._ckpt_tree()
+        if full:
+            tree = dict(tree, opt_state=self.state.opt_state)
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self.ckpt.save(path, tree)
+
+    def load_checkpoint(self, name: str):
+        """Restore from a checkpoint; 'last' carries the optimizer state too
+        (full mid-run resume — reference cannot do this, train.py:476-503)."""
+        if self.ckpt is None:
+            return
+        path = (self.path_to_save / name).absolute()
+        try:
+            restored = self.ckpt.restore(
+                path, dict(self._ckpt_tree(), opt_state=self.state.opt_state)
+            )
+        except ValueError:  # weights-only checkpoint (no opt_state)
+            restored = self.ckpt.restore(path, self._ckpt_tree())
+        self.state = self.state._replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            ema=restored["ema"], step=restored["step"],
+            opt_state=restored.get("opt_state", self.state.opt_state),
+        )
+
+    def _save_and_maybe_stop(self, metrics: Dict[str, float]):
+        """reference save_model (train.py:476-503): last always, best on
+        mean(decision_metrics) improvement."""
+        self.save_checkpoint("last", full=True)
+        vals = [metrics.get(m, 0.0) for m in self.decision_metrics]
+        score = float(np.mean(vals)) if vals else 0.0
+        if score > self.best_metric:
+            self.best_metric = score
+            self.epochs_no_improve = 0
+            self.save_checkpoint("model")
+            logger.info(f"Saved best model (decision={score:.4f})")
+        else:
+            self.epochs_no_improve += 1
+
+    # ------------------------------------------------------------ logging
+
+    def _log_metrics(self, metrics: Dict[str, float]):
+        try:
+            from tabulate import tabulate
+
+            rows = [(k, round(v, 4) if isinstance(v, float) else v)
+                    for k, v in metrics.items() if not isinstance(v, dict)]
+            logger.info("\n" + tabulate(rows, headers=["metric", "value"]))
+        except ImportError:
+            logger.info(str(metrics))
+
+    @staticmethod
+    def _write_csv(history: List[Dict], path: Path):
+        if not history:
+            return
+        keys = sorted({k for h in history for k in h if not isinstance(h[k], dict)})
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+            w.writeheader()
+            for h in history:
+                w.writerow({k: h.get(k) for k in keys})
