@@ -1,0 +1,32 @@
+# CLI entry points (reference Makefile:1-38). No torchrun switch needed:
+# GSPMD data parallelism uses every local device in one process.
+
+CONFIG ?=
+OVERRIDES ?=
+CFG_ARG := $(if $(CONFIG),--config $(CONFIG),)
+
+split:
+	python -m custom_d_fine_tpu.cli.split $(CFG_ARG) $(OVERRIDES)
+
+train:
+	python -m custom_d_fine_tpu.cli.train $(CFG_ARG) $(OVERRIDES)
+
+export:
+	python -m custom_d_fine_tpu.cli.export $(CFG_ARG) $(OVERRIDES)
+
+bench:
+	python -m custom_d_fine_tpu.cli.bench $(CFG_ARG) $(OVERRIDES)
+
+infer:
+	python -m custom_d_fine_tpu.cli.infer $(CFG_ARG) $(OVERRIDES)
+
+check_errors:
+	python -m custom_d_fine_tpu.cli.check_errors $(CFG_ARG) $(OVERRIDES)
+
+test_batching:
+	python -m custom_d_fine_tpu.cli.test_batching $(CFG_ARG) $(OVERRIDES)
+
+test:
+	python -m pytest tests/ -x -q
+
+.PHONY: split train export bench infer check_errors test_batching test

@@ -303,7 +303,11 @@ class DFINECriterion:
         g_idx = jnp.tile(jnp.arange(Gd, dtype=jnp.int32), (num_group,))
         q = jnp.broadcast_to(q_idx[None], (B, num_group * Gd))
         g = jnp.broadcast_to(g_idx[None], (B, num_group * Gd))
-        gt_valid = targets["valid"][:, :Gd]
+        gt_valid = targets["valid"]
+        if gt_valid.shape[1] >= Gd:
+            gt_valid = gt_valid[:, :Gd]
+        else:  # dn layout capacity exceeds the padded GT capacity
+            gt_valid = jnp.pad(gt_valid, ((0, 0), (0, Gd - gt_valid.shape[1])))
         valid = jnp.tile(gt_valid, (1, num_group))
         return {"q": q, "g": g, "valid": valid}
 

@@ -16,6 +16,7 @@ class _Logger:
     def __init__(self):
         self._log = logging.getLogger("custom_d_fine_tpu")
         self._log.setLevel(logging.INFO)
+        self._log.propagate = False
         if not self._log.handlers:
             h = logging.StreamHandler(sys.stderr)
             h.setFormatter(logging.Formatter("%(asctime)s | %(levelname)s | %(message)s",
