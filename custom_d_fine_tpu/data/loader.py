@@ -137,6 +137,7 @@ class Loader:
         multiscale_prob: float = 0.0,
         seed: int = 42,
         label_to_name: Optional[Dict[int, str]] = None,
+        mask_downsample: int = 4,
     ):
         self.root_path = Path(root_path)
         self.img_size = tuple(img_size)
@@ -150,6 +151,7 @@ class Loader:
             root_path=self.root_path, img_size=self.img_size, max_gt=max_gt,
             task=task, keep_ratio=keep_ratio, use_one_class=use_one_class,
             aug_cfg=aug_cfg, mosaic_cfg=mosaic_cfg, seed=seed,
+            mask_downsample=mask_downsample,
         )
         self.datasets: Dict[str, DFineDataset] = {}
         for split in ("train", "val", "test"):

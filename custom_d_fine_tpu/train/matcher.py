@@ -59,6 +59,39 @@ def matching_cost(
     return jnp.nan_to_num(C, nan=1.0)
 
 
+def mask_matching_cost(
+    pred_masks: jnp.ndarray,  # [B, Q, Hm, Wm] logits
+    tgt_masks: jnp.ndarray,   # [B, G, Hm, Wm] {0,1}
+    cfg: MatcherConfig,
+) -> jnp.ndarray:
+    """Pairwise focal + Dice mask costs [B, Q, G] (reference matcher.py:19-71,
+    :175-237). Batched with lax.map over images to bound the [Q, H*W]
+    temporary memory (the reference loops images in Python for the same
+    reason)."""
+
+    def per_image(args):
+        pm, tm = args  # [Q,Hm,Wm], [G,Hm,Wm]
+        Q = pm.shape[0]
+        G = tm.shape[0]
+        p = pm.reshape(Q, -1).astype(jnp.float32)
+        t = tm.reshape(G, -1).astype(jnp.float32)
+        prob = jax.nn.sigmoid(p)
+        cost = jnp.zeros((Q, G), jnp.float32)
+        if cfg.cost_mask_dice > 0:
+            num = 2.0 * (prob @ t.T)
+            den = prob.sum(1, keepdims=True) + t.sum(1)[None, :]
+            dice = (num + 1e-6) / (den + 1e-6)
+            cost = cost + cfg.cost_mask_dice * (1.0 - dice)
+        if cfg.cost_mask > 0:
+            neg = (1 - cfg.alpha) * (prob ** cfg.gamma) * (-jnp.log(1 - prob + 1e-8))
+            pos = cfg.alpha * ((1 - prob) ** cfg.gamma) * (-jnp.log(prob + 1e-8))
+            focal = (pos @ t.T + neg @ (1.0 - t).T) / p.shape[1]
+            cost = cost + cfg.cost_mask * focal
+        return cost
+
+    return jax.lax.map(per_image, (pred_masks, tgt_masks))
+
+
 def match_all_sets(
     output_sets: List[Dict[str, jnp.ndarray]],  # set 0 MUST be the final layer
     targets: Dict[str, jnp.ndarray],
@@ -73,14 +106,20 @@ def match_all_sets(
       go_g [B, Q]       — per-query GO-union gt index,
       go_valid [B, Q]   — per-query GO-union validity.
     """
-    costs = jnp.stack(
-        [
-            matching_cost(o["pred_logits"], o["pred_boxes"], targets["labels"],
+    def set_cost(o):
+        c = matching_cost(o["pred_logits"], o["pred_boxes"], targets["labels"],
                           targets["boxes"], cfg)
-            for o in output_sets
-        ],
-        axis=0,
-    )  # [S, B, Q, G]
+        # mask costs for sets that carry mask predictions (reference
+        # matcher.py:175-237); invalid gt mask columns zeroed by validity below
+        if (
+            "pred_masks" in o and o["pred_masks"] is not None
+            and targets.get("masks") is not None
+            and (cfg.cost_mask > 0 or cfg.cost_mask_dice > 0)
+        ):
+            c = c + mask_matching_cost(o["pred_masks"], targets["masks"], cfg)
+        return c
+
+    costs = jnp.stack([set_cost(o) for o in output_sets], axis=0)  # [S, B, Q, G]
     n_valid = targets["valid"].sum(-1).astype(jnp.int32)
     costs = jax.lax.stop_gradient(costs)
     # mask invalid gt columns so they never attract a query

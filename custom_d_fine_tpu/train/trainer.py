@@ -117,6 +117,9 @@ class Trainer:
             multiscale_prob=t["augs"].get("multiscale_prob", 0.0),
             seed=t.get("seed", 42),
             label_to_name=self.label_to_name,
+            # GT masks at the mask head's output resolution: finest level
+            # stride / 2 (H/4 for 3-level models, H/8 for 2-level n-size)
+            mask_downsample=self.model_cfg.encoder.feat_strides[0] // 2,
         )
         if self.ignore_background_epochs:
             self.loader.datasets["train"].ignore_background = True
@@ -130,8 +133,15 @@ class Trainer:
         if t.get("pretrained_model_path"):
             variables = self._load_pretrained(variables, t["pretrained_model_path"])
 
+        crit_cfg = self.model_cfg.criterion
+        if self.enable_mask_head and "masks" not in crit_cfg.losses:
+            import dataclasses
+
+            crit_cfg = dataclasses.replace(
+                crit_cfg, losses=tuple(crit_cfg.losses) + ("masks",)
+            )  # reference build_loss adds "masks" for segment (dfine.py:73-84)
         self.criterion = DFINECriterion(
-            self.model_cfg.criterion, self.model_cfg.matcher,
+            crit_cfg, self.model_cfg.matcher,
             num_classes=self.num_labels,
             num_queries=self.model_cfg.decoder.num_queries,
         )
