@@ -82,6 +82,88 @@ def _nearest_gather_level(
     return g.reshape(B, n_head, Lq, P, c).transpose(0, 2, 1, 3, 4)
 
 
+def _onehot_matmul_level(
+    value_l: jnp.ndarray,   # [B, H*W, n_head, c]
+    loc: jnp.ndarray,       # [B, Lq, n_head, P_l, 2] in [0,1]
+    attn_w: jnp.ndarray,    # [B, Lq, n_head, P_l]
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """MXU formulation: fold the bilinear corner weights AND the attention
+    weights into one sparse matrix S [Lq, H*W] (4 entries per point) built by
+    compare-accumulate, then sample-and-reduce as one matmul S @ V per
+    (batch, head). Random gathers become a systolic-array pass — the win on
+    TPU when H*W is moderate. Returns [B, Lq, n_head, c] (already
+    attention-reduced for this level)."""
+    B, HW, n_head, c = value_l.shape
+    _, Lq, _, P, _ = loc.shape
+    f32 = jnp.float32
+
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(f32)
+    ty = (y - y0).astype(f32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    idxs = []
+    ws = []
+    for dx, dy, wgt in (
+        (0, 0, (1 - tx) * (1 - ty)),
+        (1, 0, tx * (1 - ty)),
+        (0, 1, (1 - tx) * ty),
+        (1, 1, tx * ty),
+    ):
+        xi = x0i + dx
+        yi = y0i + dy
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idxs.append(jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
+        ws.append(wgt * valid.astype(f32) * attn_w.astype(f32))
+
+    corner_idx = jnp.stack(idxs, axis=-1).reshape(B, Lq, n_head, 4 * P)
+    corner_w = jnp.stack(ws, axis=-1).reshape(B, Lq, n_head, 4 * P)
+
+    # scatter the 4P weighted entries into S [B, n_head, Lq, HW]
+    S = jnp.zeros((B, n_head, Lq, HW), f32)
+    b_i = jnp.arange(B)[:, None, None, None]
+    h_i = jnp.arange(n_head)[None, None, :, None]
+    q_i = jnp.arange(Lq)[None, :, None, None]
+    S = S.at[
+        jnp.broadcast_to(b_i, corner_idx.shape),
+        jnp.broadcast_to(h_i, corner_idx.shape),
+        jnp.broadcast_to(q_i, corner_idx.shape),
+        corner_idx,
+    ].add(corner_w)
+
+    v = jnp.swapaxes(value_l, 1, 2).astype(f32)  # [B, n_head, HW, c]
+    return jnp.einsum("bhqk,bhkc->bqhc", S, v)
+
+
+def ms_deform_attn_onehot(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    num_points_list: Sequence[int],
+) -> jnp.ndarray:
+    """One-hot/scatter + matmul variant of the deformable core (same math as
+    ms_deform_attn_xla; MXU-bound instead of gather-bound)."""
+    B, Len_v, n_head, c = value.shape
+    Lq = sampling_locations.shape[1]
+    out = jnp.zeros((B, Lq, n_head, c), jnp.float32)
+    v_off = p_off = 0
+    for (H, W), P in zip(spatial_shapes, num_points_list):
+        value_l = jax.lax.slice_in_dim(value, v_off, v_off + H * W, axis=1)
+        loc = jax.lax.slice_in_dim(sampling_locations, p_off, p_off + P, axis=3)
+        w = jax.lax.slice_in_dim(attention_weights, p_off, p_off + P, axis=3)
+        out = out + _onehot_matmul_level(value_l, loc, w, H, W)
+        v_off += H * W
+        p_off += P
+    return out.reshape(B, Lq, n_head * c).astype(value.dtype)
+
+
 def ms_deform_attn_xla(
     value: jnp.ndarray,                  # [B, Len_v, n_head, c] (levels concatenated)
     spatial_shapes: Sequence[Tuple[int, int]],  # static [(H, W), ...]
@@ -125,6 +207,10 @@ def ms_deform_attn(
         from .pallas.msda import ms_deform_attn_pallas
 
         return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights, num_points_list
+        )
+    if impl == "onehot":
+        return ms_deform_attn_onehot(
             value, spatial_shapes, sampling_locations, attention_weights, num_points_list
         )
     return ms_deform_attn_xla(

@@ -1,0 +1,95 @@
+"""Deformable-attention sampling: patch-gather vs naive reference, incl. borders."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from custom_d_fine_tpu.ops.deform_attn import ms_deform_attn_xla
+
+
+def naive_bilinear(value, shapes, loc, w, points):
+    """Straightforward numpy grid_sample(zeros, align_corners=False) reference."""
+    B, Lv, nh, c = value.shape
+    _, Lq, _, P, _ = loc.shape
+    out = np.zeros((B, Lq, nh, c), np.float32)
+    off_v = 0
+    off_p = 0
+    for (H, W), Pl in zip(shapes, points):
+        vl = value[:, off_v:off_v + H * W].reshape(B, H, W, nh, c)
+        for b in range(B):
+            for q in range(Lq):
+                for h in range(nh):
+                    for p in range(Pl):
+                        x = loc[b, q, h, off_p + p, 0] * W - 0.5
+                        y = loc[b, q, h, off_p + p, 1] * H - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        tx, ty = x - x0, y - y0
+                        acc = np.zeros(c, np.float32)
+                        for dy, wy in ((0, 1 - ty), (1, ty)):
+                            for dx, wx in ((0, 1 - tx), (1, tx)):
+                                xi, yi = x0 + dx, y0 + dy
+                                if 0 <= xi < W and 0 <= yi < H:
+                                    acc += wy * wx * vl[b, yi, xi, h]
+                        out[b, q, h] += acc * w[b, q, h, off_p + p]
+        off_v += H * W
+        off_p += Pl
+    return out.reshape(B, Lq, nh * c)
+
+
+def test_patch_gather_matches_naive_with_borders():
+    rng = np.random.default_rng(0)
+    B, Lq, nh, c = 2, 7, 2, 4
+    shapes = [(6, 8), (3, 4)]
+    points = [2, 2]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(B, Lv, nh, c)).astype(np.float32)
+    # locations deliberately include far-out-of-bounds, border, and interior
+    loc = rng.uniform(-0.4, 1.4, size=(B, Lq, nh, P, 2)).astype(np.float32)
+    loc[0, 0, 0, 0] = [0.0, 0.0]     # top-left corner
+    loc[0, 1, 0, 0] = [1.0, 1.0]     # bottom-right edge
+    loc[0, 2, 0, 0] = [-0.2, 0.5]    # partially out left
+    loc[0, 3, 0, 0] = [0.999, 0.001]
+    w = rng.uniform(0, 1, size=(B, Lq, nh, P)).astype(np.float32)
+
+    got = np.asarray(ms_deform_attn_xla(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w), points
+    ))
+    want = naive_bilinear(value, shapes, loc, w, points)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_patch_gather_grad_finite():
+    rng = np.random.default_rng(1)
+    B, Lq, nh, c = 1, 5, 2, 4
+    shapes = [(5, 5)]
+    points = [3]
+    value = jnp.asarray(rng.normal(size=(B, 25, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, 3, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, 3)), jnp.float32)
+
+    def f(v, l, w):
+        return ms_deform_attn_xla(v, shapes, l, w, points).sum()
+
+    gv, gl, gw = jax.grad(f, argnums=(0, 1, 2))(value, loc, w)
+    for g in (gv, gl, gw):
+        assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(gv).sum()) > 0
+    assert float(jnp.abs(gl).sum()) > 0
+
+
+def test_onehot_impl_matches_gather():
+    from custom_d_fine_tpu.ops.deform_attn import ms_deform_attn_onehot
+
+    rng = np.random.default_rng(2)
+    B, Lq, nh, c = 2, 6, 2, 4
+    shapes = [(6, 8), (3, 4)]
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+    a = np.asarray(ms_deform_attn_xla(value, shapes, loc, w, points))
+    b = np.asarray(ms_deform_attn_onehot(value, shapes, loc, w, points))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
