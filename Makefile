@@ -23,10 +23,16 @@ infer:
 check_errors:
 	python -m custom_d_fine_tpu.cli.check_errors $(CFG_ARG) $(OVERRIDES)
 
+quantize_int8:
+	python -m custom_d_fine_tpu.cli.quantize_int8 $(CFG_ARG) $(OVERRIDES)
+
+demo:
+	python -m custom_d_fine_tpu.cli.demo $(CFG_ARG) $(OVERRIDES)
+
 test_batching:
 	python -m custom_d_fine_tpu.cli.test_batching $(CFG_ARG) $(OVERRIDES)
 
 test:
 	python -m pytest tests/ -x -q
 
-.PHONY: split train export bench infer check_errors test_batching test
+.PHONY: split train export bench infer check_errors test_batching quantize_int8 demo test

@@ -95,6 +95,17 @@ class Trainer:
 
         self.dtype = jnp.bfloat16 if t.get("dtype") == "bfloat16" else None
 
+        self._wandb = None
+        if t.get("use_wandb"):
+            try:
+                import wandb
+
+                wandb.init(project=cfg.get("project_name", "d_fine_tpu"),
+                           name=cfg.get("exp"), config=dict(cfg))
+                self._wandb = wandb
+            except ImportError:
+                logger.warning("use_wandb=true but wandb is not installed; skipping")
+
         # ---- data ----
         self.model_cfg = self._model_cfg_override or get_model_config(
             cfg["model_name"], enable_mask_head=self.enable_mask_head,
@@ -278,9 +289,12 @@ class Trainer:
         self._last_validator = validator
         return validator.compute_metrics(extended=extended)
 
-    def get_preds_and_gt(self, split: str) -> Tuple[List[Dict], List[Dict]]:
+    def get_preds_and_gt(self, split: str, visualize: bool = None) -> Tuple[List[Dict], List[Dict]]:
         """reference get_preds_and_gt (train.py:376-434): EMA inference,
-        postprocess to original image coordinates."""
+        postprocess to original image coordinates; first 6 images rendered
+        side-by-side GT|pred when to_visualize_eval."""
+        if visualize is None:
+            visualize = bool(self.cfg["train"].get("to_visualize_eval"))
         preds: List[Dict] = []
         gts: List[Dict] = []
         for batch in self.loader.epoch_iterator(split, shuffle=False, drop_last=False):
@@ -312,6 +326,27 @@ class Trainer:
                 else:
                     xyxy = np.zeros((0, 4), np.float32)
                 gts.append({"boxes": xyxy, "labels": batch["labels"][b][v]})
+
+                if visualize and len(preds) <= 6:
+                    # render GT | pred side-by-side in CANVAS coordinates
+                    # (reference visualizes the first eval batches, train.py:418-426)
+                    import cv2
+
+                    from ..utils.vis import save_gt_pred_pair
+
+                    img = cv2.cvtColor(np.asarray(batch["images"][b]), cv2.COLOR_RGB2BGR)
+                    gt_canvas = np.stack([
+                        (gb[:, 0] - gb[:, 2] / 2) * W, (gb[:, 1] - gb[:, 3] / 2) * H,
+                        (gb[:, 0] + gb[:, 2] / 2) * W, (gb[:, 1] + gb[:, 3] / 2) * H,
+                    ], 1) if len(gb) else np.zeros((0, 4), np.float32)
+                    save_gt_pred_pair(
+                        img,
+                        {"boxes": gt_canvas, "labels": batch["labels"][b][v]},
+                        {"boxes": dets["boxes"][b][keep], "labels": labels[keep],
+                         "scores": scores[keep]},
+                        self.path_to_save / "eval_preds" / f"{len(preds):03d}.jpg",
+                        self.label_to_name,
+                    )
         return preds, gts
 
     # ------------------------------------------------------------ checkpoint
@@ -372,6 +407,8 @@ class Trainer:
     # ------------------------------------------------------------ logging
 
     def _log_metrics(self, metrics: Dict[str, float]):
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in metrics.items() if not isinstance(v, dict)})
         try:
             from tabulate import tabulate
 

@@ -69,3 +69,27 @@ def test_go_union_matches_host():
     want_g, want_v = host_go_union(assign, n_valid, Q)
     np.testing.assert_array_equal(np.asarray(got_v), want_v)
     np.testing.assert_array_equal(np.asarray(got_g)[want_v], want_g[want_v])
+
+
+def test_native_cpp_lapjv_matches_scipy():
+    from custom_d_fine_tpu.ops import lapjv_native
+
+    if not lapjv_native.available():
+        import pytest
+
+        pytest.skip("native lapjv build unavailable")
+    rng = np.random.default_rng(3)
+    N, R, C = 6, 9, 30
+    costs = rng.normal(size=(N, R, C)).astype(np.float32) * 7
+    n_valid = rng.integers(0, R + 1, N).astype(np.int32)
+    got = lapjv_native.lapjv_batch(costs, n_valid)
+    for p in range(N):
+        n = int(n_valid[p])
+        assert (got[p, n:] == -1).all()
+        if n == 0:
+            continue
+        assert len(set(got[p, :n].tolist())) == n
+        rows, cols = linear_sum_assignment(costs[p, :n])
+        want = costs[p, :n][rows, cols].sum()
+        have = sum(costs[p, g, got[p, g]] for g in range(n))
+        np.testing.assert_allclose(have, want, rtol=1e-5)
