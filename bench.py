@@ -33,8 +33,11 @@ def main():
     from custom_d_fine_tpu.models.dfine import build_model
     from custom_d_fine_tpu.ops.postprocess import topk_detections
 
+    from custom_d_fine_tpu.ops.deform_attn import resolve_impl
+
     cfg = get_model_config("m")
-    model, variables = build_model(cfg, num_classes=80, img_size=(640, 640), train_batch=1)
+    model, variables = build_model(cfg, num_classes=80, img_size=(640, 640),
+                                   train_batch=1, msda_impl=resolve_impl("auto"))
 
     @jax.jit
     def infer(images_u8):

@@ -50,6 +50,8 @@ class DFineDataset:
         mask_downsample: int = 4,       # GT masks stored at img_size/mask_downsample
         seed: int = 42,
         min_box_px: float = 1.0,
+        debug_img_path=None,   # save post-aug images with drawn GT (reference dataset.py:187-227)
+        debug_img_limit: int = 100,
     ):
         assert mode in ("train", "val", "test", "bench"), mode
         self.root_path = Path(root_path)
@@ -67,6 +69,9 @@ class DFineDataset:
         self.mask_downsample = mask_downsample
         self.ignore_background = False
         self.min_box_px = min_box_px
+        self.debug_img_path = debug_img_path
+        self.debug_img_limit = debug_img_limit
+        self._debug_saved = 0
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -219,4 +224,29 @@ class DFineDataset:
             if masks_out is not None and len(masks_out):
                 mk[:min(len(masks_out), G)] = masks_out[:G]
             out["masks"] = mk
+
+        if self.debug_img_path and self._debug_saved < self.debug_img_limit:
+            self._save_debug_image(idx, out, boxes[:n] if n else np.zeros((0, 4)))
         return out
+
+    def _save_debug_image(self, idx, out, boxes_abs):
+        """Post-augmentation render with drawn GT (reference dataset.py:187-227)."""
+        from pathlib import Path as _P
+
+        from ..utils.vis import vis_one_box
+
+        img = cv2.cvtColor(out["image"].copy(), cv2.COLOR_RGB2BGR)
+        for box, lab in zip(boxes_abs, out["labels"]):
+            vis_one_box(img, box, int(lab), None, "gt")
+        if "masks" in out:
+            for m in out["masks"]:
+                if m.any():
+                    mm = cv2.resize(m.astype(np.uint8), (img.shape[1], img.shape[0]),
+                                    interpolation=cv2.INTER_NEAREST)
+                    cnts, _ = cv2.findContours(mm, cv2.RETR_EXTERNAL,
+                                               cv2.CHAIN_APPROX_SIMPLE)
+                    cv2.drawContours(img, cnts, -1, (0, 255, 0), 1)
+        save_dir = _P(self.debug_img_path) / self.mode
+        save_dir.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(save_dir / f"{idx}_debug.jpg"), img)
+        self._debug_saved += 1

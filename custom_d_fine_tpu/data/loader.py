@@ -138,6 +138,7 @@ class Loader:
         seed: int = 42,
         label_to_name: Optional[Dict[int, str]] = None,
         mask_downsample: int = 4,
+        debug_img_path=None,
     ):
         self.root_path = Path(root_path)
         self.img_size = tuple(img_size)
@@ -151,7 +152,7 @@ class Loader:
             root_path=self.root_path, img_size=self.img_size, max_gt=max_gt,
             task=task, keep_ratio=keep_ratio, use_one_class=use_one_class,
             aug_cfg=aug_cfg, mosaic_cfg=mosaic_cfg, seed=seed,
-            mask_downsample=mask_downsample,
+            mask_downsample=mask_downsample, debug_img_path=debug_img_path,
         )
         self.datasets: Dict[str, DFineDataset] = {}
         for split in ("train", "val", "test"):

@@ -46,6 +46,7 @@ class JaxModel:
         nms_iou_thresh: float = 0.6,
         max_batch_size: int = 1,
         dtype: str = "float32",
+        msda_impl: str = "auto",   # pallas kernel on TPU, XLA gather elsewhere
         smoke_test: bool = True,
     ):
         import jax
@@ -69,9 +70,11 @@ class JaxModel:
 
         cfg = get_model_config(model_name, enable_mask_head=(task == "segment"))
         compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+        from ..ops.deform_attn import resolve_impl
+
         self.model, variables = build_model(
             cfg, num_classes=num_classes, img_size=self.img_size, train_batch=1,
-            dtype=compute_dtype,
+            dtype=compute_dtype, msda_impl=resolve_impl(msda_impl),
         )
         if model_path:
             variables = self._load_weights(variables, model_path, num_classes)

@@ -197,12 +197,23 @@ def ms_deform_attn_xla(
     return out.reshape(B, Lq, n_head * c)
 
 
+def resolve_impl(impl: str = "auto") -> str:
+    """'auto' -> the Pallas kernel on TPU, XLA gather elsewhere."""
+    if impl != "auto":
+        return impl
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def ms_deform_attn(
     value, spatial_shapes, sampling_locations, attention_weights, num_points_list,
     method: str = "default", impl: str = "xla",
 ):
     """Dispatch between implementations (reference keeps a similar method switch
-    at arch/utils.py:90-98)."""
+    at arch/utils.py:90-98). impl: xla | pallas | onehot | auto."""
+    impl = resolve_impl(impl)
     if impl == "pallas":
         from .pallas.msda import ms_deform_attn_pallas
 

@@ -131,6 +131,8 @@ class Trainer:
             # GT masks at the mask head's output resolution: finest level
             # stride / 2 (H/4 for 3-level models, H/8 for 2-level n-size)
             mask_downsample=self.model_cfg.encoder.feat_strides[0] // 2,
+            debug_img_path=(t.get("debug_img_path")
+                            if t.get("debug_img_processing") else None),
         )
         if self.ignore_background_epochs:
             self.loader.datasets["train"].ignore_background = True

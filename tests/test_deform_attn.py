@@ -93,3 +93,51 @@ def test_onehot_impl_matches_gather():
     a = np.asarray(ms_deform_attn_xla(value, shapes, loc, w, points))
     b = np.asarray(ms_deform_attn_onehot(value, shapes, loc, w, points))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_impl_matches_gather_interpret():
+    """Pallas kernel vs gather reference (interpreter mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas.msda import ms_deform_attn_pallas
+
+    rng = np.random.default_rng(4)
+    B, Lq, nh, c = 2, 6, 2, 8
+    shapes = [(6, 8), (3, 4)]
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+
+    want = np.asarray(ms_deform_attn_xla(value, shapes, loc, w, points))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ms_deform_attn_pallas(value, shapes, loc, w, points))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_grad_routes_through_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas.msda import ms_deform_attn_pallas
+
+    rng = np.random.default_rng(5)
+    B, Lq, nh, c = 1, 4, 2, 8
+    shapes = [(4, 4)]
+    points = [2]
+    value = jnp.asarray(rng.normal(size=(B, 16, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, 2, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, 2)), jnp.float32)
+
+    def f_pallas(v, l, a):
+        return ms_deform_attn_pallas(v, shapes, l, a, points).sum()
+
+    def f_xla(v, l, a):
+        return ms_deform_attn_xla(v, shapes, l, a, points).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2))(value, loc, w)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
