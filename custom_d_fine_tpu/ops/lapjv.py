@@ -111,16 +111,17 @@ def lapjv_single(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
         )
         return u, v, t["col4row"], t["row4col"]
 
-    def body_row(r, state):
-        return jax.lax.cond(r < n_valid, lambda s: assign_row(r, s), lambda s: s, state)
-
     init = (
         jnp.zeros((R,)),
         jnp.zeros((C,)),
         jnp.full((R,), -1, jnp.int32),
         jnp.full((C,), -1, jnp.int32),
     )
-    _, _, col4row, _ = jax.lax.fori_loop(0, R, body_row, init)
+    # traced upper bound: only the valid rows run (the padded capacity R is
+    # usually much larger than the actual GT count — a 5-10x step saving)
+    _, _, col4row, _ = jax.lax.fori_loop(
+        0, jnp.minimum(n_valid, R).astype(jnp.int32), assign_row, init
+    )
     return col4row
 
 
