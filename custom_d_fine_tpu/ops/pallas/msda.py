@@ -153,20 +153,161 @@ def _msda_pallas(value, spatial_shapes, sampling_locations, attention_weights,
                                  attention_weights, num_points_list)
 
 
+def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
+                      tile: int, n_entries: int):
+    """Backward per level. Grid (BH, n_tiles). Blocks:
+    idx/w/dwe [1, LQ_PAD, E], g [1, LQ_PAD, c], v/dv [1, tile, c].
+
+    dV_tile = S_tile^T @ g        (replaces XLA's scatter-add — pure MXU)
+    dS_tile = g @ V_tile^T, then dW[e] += row-reduce(dS_tile * (col == idx_e))
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dwe_ref[...] = jnp.zeros_like(dwe_ref)
+
+    col0 = t * tile
+    lq = idx_ref.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, tile), 1) + col0
+
+    s = jnp.zeros((lq, tile), jnp.float32)
+    for e in range(n_entries):
+        idx_e = idx_ref[0, :, e][:, None]
+        w_e = w_ref[0, :, e][:, None]
+        s = s + jnp.where(col_ids == idx_e, w_e, 0.0)
+
+    g = g_ref[0]  # [LQ, c]
+    dv_ref[0, :, :] = jnp.dot(
+        s.T, g, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    ds = jnp.dot(g, v_ref[0].T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # [LQ, tile]
+    for e in range(n_entries):
+        idx_e = idx_ref[0, :, e][:, None]
+        dwe_ref[0, :, e] += jnp.sum(jnp.where(col_ids == idx_e, ds, 0.0), axis=1)
+
+
+def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
+                          num_points_list, g):
+    """Returns (dvalue, dloc, dattn) — all chain-rule scalars computed in XLA
+    from the kernel's dV and folded-weight grads dW."""
+    B, Len_v, n_head, c = value.shape
+    Lq = loc_all.shape[1]
+    BH = B * n_head
+    LQ_PAD = _round_up(Lq, 8)
+
+    g_r = g.reshape(B, Lq, n_head, c).transpose(0, 2, 1, 3).reshape(BH, Lq, c)
+    g_r = g_r.astype(jnp.float32)
+    if LQ_PAD != Lq:
+        g_r = jnp.pad(g_r, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
+
+    dvalue_parts = []
+    dloc_parts = []
+    dattn_parts = []
+    v_off = p_off = 0
+    for (H, W), P in zip(spatial_shapes, num_points_list):
+        HW = H * W
+        value_l = jax.lax.slice_in_dim(value, v_off, v_off + HW, axis=1)
+        loc = jax.lax.slice_in_dim(loc_all, p_off, p_off + P, axis=3)
+        attn = jax.lax.slice_in_dim(attn_all, p_off, p_off + P, axis=3)
+
+        idx, cw = _corner_idx_weights(loc, attn, H, W)
+        if LQ_PAD != Lq:
+            idx = jnp.pad(idx, ((0, 0), (0, LQ_PAD - Lq), (0, 0)), constant_values=-1)
+            cw = jnp.pad(cw, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
+
+        v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, HW, c).astype(jnp.float32)
+        tile = min(_round_up(HW, 128), 1024)
+        HW_pad = _round_up(HW, tile)
+        if HW_pad != HW:
+            v_l = jnp.pad(v_l, ((0, 0), (0, HW_pad - HW), (0, 0)))
+        n_tiles = HW_pad // tile
+        E = 4 * P
+
+        dv, dwe = pl.pallas_call(
+            functools.partial(_level_bwd_kernel, tile=tile, n_entries=E),
+            grid=(BH, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LQ_PAD, c), lambda bh, t: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((BH, HW_pad, c), jnp.float32),
+                jax.ShapeDtypeStruct((BH, LQ_PAD, E), jnp.float32),
+            ),
+        )(idx, cw, g_r, v_l)
+
+        dv = dv[:, :HW].reshape(B, n_head, HW, c).transpose(0, 2, 1, 3)
+        dvalue_parts.append(dv.astype(value.dtype))
+
+        # chain rule from folded-weight grads to (loc, attn). Entry layout is
+        # P-major (fwd flattens [..., P, 4] corner-last): [B, Lq, h, P, 4]
+        dwe = dwe[:, :Lq].reshape(B, n_head, Lq, P, 4).transpose(0, 2, 1, 3, 4)
+        x = loc[..., 0] * W - 0.5
+        y = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(jnp.float32)
+        ty = (y - y0).astype(jnp.float32)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def valid(xi, yi):
+            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(jnp.float32)
+
+        v00 = valid(x0i, y0i)
+        v01 = valid(x0i + 1, y0i)
+        v10 = valid(x0i, y0i + 1)
+        v11 = valid(x0i + 1, y0i + 1)
+        b00 = (1 - tx) * (1 - ty) * v00
+        b01 = tx * (1 - ty) * v01
+        b10 = (1 - tx) * ty * v10
+        b11 = tx * ty * v11
+
+        d00, d01, d10, d11 = (dwe[..., 0], dwe[..., 1], dwe[..., 2], dwe[..., 3])
+        a = attn.astype(jnp.float32)
+        dattn = d00 * b00 + d01 * b01 + d10 * b10 + d11 * b11
+        dtx = a * (-d00 * (1 - ty) * v00 + d01 * (1 - ty) * v01
+                   - d10 * ty * v10 + d11 * ty * v11)
+        dty = a * (-d00 * (1 - tx) * v00 - d01 * tx * v01
+                   + d10 * (1 - tx) * v10 + d11 * tx * v11)
+        dloc = jnp.stack([dtx * W, dty * H], axis=-1)
+        dloc_parts.append(dloc.astype(loc_all.dtype))
+        dattn_parts.append(dattn.astype(attn_all.dtype))
+
+        v_off += HW
+        p_off += P
+
+    dvalue = jnp.concatenate(dvalue_parts, axis=1)
+    dloc = jnp.concatenate(dloc_parts, axis=3)
+    dattn = jnp.concatenate(dattn_parts, axis=3)
+    return dvalue, dloc, dattn
+
+
 def _fwd(value, spatial_shapes, loc, attn, num_points_list):
     out = _msda_pallas_fwd_impl(value, spatial_shapes, loc, attn, num_points_list)
     return out, (value, loc, attn)
 
 
 def _bwd(spatial_shapes, num_points_list, res, g):
-    from ..deform_attn import ms_deform_attn_xla
-
     value, loc, attn = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a, num_points_list),
-        value, loc, attn,
-    )
-    return vjp(g)
+    return _msda_pallas_bwd_impl(value, spatial_shapes, loc, attn,
+                                 num_points_list, g)
 
 
 _msda_pallas.defvjp(_fwd, _bwd)

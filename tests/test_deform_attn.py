@@ -117,27 +117,34 @@ def test_pallas_impl_matches_gather_interpret():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_grad_routes_through_xla():
+def test_pallas_backward_kernel_matches_xla_grads():
+    """Handwritten Pallas bwd (dV via S^T matmul, dW via masked row-reduce,
+    chain rule to loc/attn) vs jax.grad of the gather implementation —
+    multi-level, weighted cotangent, including border/out-of-bounds points."""
     from jax.experimental.pallas import tpu as pltpu
 
     from custom_d_fine_tpu.ops.pallas.msda import ms_deform_attn_pallas
 
     rng = np.random.default_rng(5)
-    B, Lq, nh, c = 1, 4, 2, 8
-    shapes = [(4, 4)]
-    points = [2]
-    value = jnp.asarray(rng.normal(size=(B, 16, nh, c)), jnp.float32)
-    loc = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, 2, 2)), jnp.float32)
-    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, 2)), jnp.float32)
+    B, Lq, nh, c = 2, 5, 2, 8
+    shapes = [(6, 8), (3, 4)]
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.15, 1.15, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, Lq, nh * c)), jnp.float32)
 
     def f_pallas(v, l, a):
-        return ms_deform_attn_pallas(v, shapes, l, a, points).sum()
+        return (ms_deform_attn_pallas(v, shapes, l, a, points) * cot).sum()
 
     def f_xla(v, l, a):
-        return ms_deform_attn_xla(v, shapes, l, a, points).sum()
+        return (ms_deform_attn_xla(v, shapes, l, a, points) * cot).sum()
 
     with pltpu.force_tpu_interpret_mode():
         gp = jax.grad(f_pallas, argnums=(0, 1, 2))(value, loc, w)
     gx = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
-    for a, b in zip(gp, gx):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+    for name, a, b in zip(("dvalue", "dloc", "dattn"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
