@@ -138,10 +138,13 @@ class Trainer:
             self.loader.datasets["train"].ignore_background = True
 
         # ---- model ----
+        from ..ops.deform_attn import resolve_impl
+
         self.model, variables = build_model(
             self.model_cfg, num_classes=self.num_labels, img_size=self.img_size,
             rng=jax.random.PRNGKey(t.get("seed", 42)),
             train_batch=2, dtype=self.dtype,
+            msda_impl=resolve_impl(t.get("msda_impl", "auto")),
         )
         if t.get("pretrained_model_path"):
             variables = self._load_pretrained(variables, t["pretrained_model_path"])
