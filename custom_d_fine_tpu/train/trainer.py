@@ -371,11 +371,9 @@ class Trainer:
         tree = self._ckpt_tree()
         if full:
             tree = dict(tree, opt_state=self.state.opt_state)
-        if path.exists():
-            import shutil
-
-            shutil.rmtree(path)
-        self.ckpt.save(path, tree)
+        # force=True overwrites; rmtree would race with orbax's async commit
+        self.ckpt.save(path, tree, force=True)
+        self.ckpt.wait_until_finished()
 
     def load_checkpoint(self, name: str):
         """Restore from a checkpoint; 'last' carries the optimizer state too
