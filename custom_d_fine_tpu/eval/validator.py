@@ -72,14 +72,19 @@ class Validator:
         iou_thresh: float = 0.5,
         compute_maps: bool = True,
     ):
-        self.gt = [
-            {k: (np.asarray(v) if isinstance(v, (list, np.ndarray)) or hasattr(v, "shape") else v)
-             for k, v in g.items()} for g in gt
-        ]
-        self.preds = [
-            {k: (np.asarray(v) if isinstance(v, (list, np.ndarray)) or hasattr(v, "shape") else v)
-             for k, v in p.items()} for p in preds
-        ]
+        def _norm(sample):
+            out = {}
+            for k, v in sample.items():
+                if k == "masks_rle":  # list of RLE dicts — keep as-is
+                    out[k] = v
+                elif isinstance(v, (list, np.ndarray)) or hasattr(v, "shape"):
+                    out[k] = np.asarray(v)
+                else:
+                    out[k] = v
+            return out
+
+        self.gt = [_norm(g) for g in gt]
+        self.preds = [_norm(p) for p in preds]
         self.label_to_name = label_to_name
         self.conf_thresh = conf_thresh
         self.iou_thresh = iou_thresh

@@ -54,11 +54,18 @@ def label_params(params, model_cfg: ModelConfig):
 
 
 def onecycle(max_lr: float, total_steps: int, pct_start: float) -> optax.Schedule:
-    """torch OneCycleLR(cos) equivalent: div_factor=25, final_div_factor=1e4."""
+    """torch OneCycleLR(cos) equivalent: div_factor=25, final_div_factor=1e4.
+
+    Guard: optax's cosine_onecycle divides by the warmup interval length —
+    if pct_start * total_steps < 1 (tiny runs/tests) the schedule is NaN and
+    one optimizer step silently destroys the params. Clamp both phases to at
+    least one step."""
+    total_steps = max(int(total_steps), 2)
+    pct = min(max(pct_start, 1.0 / total_steps), 1.0 - 1.0 / total_steps)
     return optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
+        transition_steps=total_steps,
         peak_value=max_lr,
-        pct_start=pct_start,
+        pct_start=pct,
         div_factor=25.0,
         final_div_factor=1e4,
     )

@@ -318,6 +318,26 @@ class Trainer:
                     "boxes": boxes[keep], "labels": labels[keep], "scores": scores[keep],
                     "all_boxes": boxes, "all_labels": labels, "all_scores": scores,
                 }
+                if self.enable_mask_head and "masks" in dets:
+                    # mask probs at head res -> original size -> binarize ->
+                    # box-crop -> RLE (reference train.py:404-434 + RLE
+                    # transfer, dl/utils.py:1104)
+                    import cv2
+
+                    from ..eval.rle import masks_to_rle
+
+                    kept = np.flatnonzero(keep)
+                    ms = []
+                    for ki in kept:
+                        m = cv2.resize(dets["masks"][b, ki].astype(np.float32),
+                                       (ow, oh), interpolation=cv2.INTER_LINEAR)
+                        m = (m > 0.5).astype(np.uint8)
+                        x1, y1, x2, y2 = (int(t) for t in boxes[ki])
+                        crop = np.zeros_like(m)
+                        crop[max(y1, 0):max(y2, 0), max(x1, 0):max(x2, 0)] = \
+                            m[max(y1, 0):max(y2, 0), max(x1, 0):max(x2, 0)]
+                        ms.append(crop)
+                    pred["masks_rle"] = masks_to_rle(np.stack(ms)) if ms else []
                 preds.append(pred)
 
                 v = batch["valid"][b]
@@ -330,7 +350,20 @@ class Trainer:
                     xyxy = unletterbox_or_resize_boxes(xyxy, lb, oh, ow)
                 else:
                     xyxy = np.zeros((0, 4), np.float32)
-                gts.append({"boxes": xyxy, "labels": batch["labels"][b][v]})
+                gt_entry = {"boxes": xyxy, "labels": batch["labels"][b][v]}
+                if self.enable_mask_head and "masks" in batch:
+                    import cv2
+
+                    from ..eval.rle import masks_to_rle
+
+                    gms = []
+                    for m in batch["masks"][b][v]:
+                        gm = (cv2.resize(m.astype(np.float32), (ow, oh),
+                                         interpolation=cv2.INTER_LINEAR) > 0.5
+                              ).astype(np.uint8)
+                        gms.append(gm)
+                    gt_entry["masks_rle"] = masks_to_rle(np.stack(gms)) if gms else []
+                gts.append(gt_entry)
 
                 if visualize and len(preds) <= 6:
                     # render GT | pred side-by-side in CANVAS coordinates

@@ -113,3 +113,11 @@ def test_registry_values_match_reference():
     assert n.decoder.num_levels == 2
     assert n.decoder.num_points == (6, 6)
     assert n.backbone.return_idx == (2, 3)
+
+
+def test_onecycle_tiny_total_steps_no_nan():
+    """pct_start * total_steps < 1 must not produce NaN learning rates."""
+    for ts in (1, 2, 3, 5):
+        sched = onecycle(1.0, total_steps=ts, pct_start=0.1)
+        vals = [float(sched(i)) for i in range(ts + 2)]
+        assert all(np.isfinite(v) for v in vals), (ts, vals)

@@ -60,6 +60,12 @@ def test_trainer_one_epoch(dataset_root, tmp_path):
     m = history[0]
     assert np.isfinite(m["train_loss"])
     assert "f1" in m and "mAP_50" in m
+    # params must remain finite after optimizer updates (a NaN OneCycle
+    # schedule once silently destroyed them while the loss looked fine)
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
 
     # checkpoint roundtrip
     trainer.load_checkpoint("last")
