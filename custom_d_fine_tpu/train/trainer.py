@@ -149,13 +149,17 @@ class Trainer:
         if t.get("pretrained_model_path"):
             variables = self._load_pretrained(variables, t["pretrained_model_path"])
 
+        import dataclasses
+
         crit_cfg = self.model_cfg.criterion
         if self.enable_mask_head and "masks" not in crit_cfg.losses:
-            import dataclasses
-
             crit_cfg = dataclasses.replace(
                 crit_cfg, losses=tuple(crit_cfg.losses) + ("masks",)
             )  # reference build_loss adds "masks" for segment (dfine.py:73-84)
+        if t.get("label_smoothing", 0.0):
+            crit_cfg = dataclasses.replace(
+                crit_cfg, label_smoothing=float(t["label_smoothing"])
+            )
         self.criterion = DFINECriterion(
             crit_cfg, self.model_cfg.matcher,
             num_classes=self.num_labels,
