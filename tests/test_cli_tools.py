@@ -1,0 +1,69 @@
+"""CLI tool smoke tests on a synthetic dataset (split, infer, check_errors
+argument plumbing; ETL CLI equivalents are covered in test_etl.py)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from custom_d_fine_tpu.cli.split import split_dataset
+
+
+@pytest.fixture()
+def raw_dataset(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / f"a{i}.jpg"), img)
+        if i % 4:  # some negatives
+            (tmp_path / "labels" / f"a{i}.txt").write_text("0 0.5 0.5 0.3 0.3\n")
+    return tmp_path
+
+
+def test_split_dataset(raw_dataset):
+    splits = split_dataset(raw_dataset, train_split=0.7, val_split=0.2, seed=1)
+    assert len(splits["train"]) == 14
+    assert len(splits["val"]) == 4
+    assert len(splits["test"]) == 2
+    assert (raw_dataset / "train.csv").exists()
+    # no overlap
+    all_names = splits["train"] + splits["val"] + splits["test"]
+    assert len(set(all_names)) == 20
+
+
+def test_split_ignore_negatives(raw_dataset):
+    splits = split_dataset(raw_dataset, train_split=0.8, val_split=0.2,
+                           ignore_negatives=True, seed=1)
+    n = len(splits["train"]) + len(splits["val"]) + len(splits["test"])
+    assert n == 15  # 5 negatives dropped
+
+
+def test_check_errors_matching_logic():
+    from custom_d_fine_tpu.cli.check_errors import find_errors
+
+    pred = {
+        "boxes": np.array([[0, 0, 10, 10], [50, 50, 60, 60], [90, 90, 95, 95]],
+                          np.float32),
+        "labels": np.array([0, 1, 0]),
+    }
+    gt = {
+        "boxes": np.array([[1, 1, 11, 11], [50, 50, 60, 60]], np.float32),
+        "labels": np.array([0, 0]),  # second gt has DIFFERENT class than pred 1
+    }
+    fp, fn = find_errors(pred, gt, 0.5)
+    # pred 0 matches gt 0 (same class, IoU>0.5); pred 1 overlaps gt 1 but class
+    # differs -> both unmatched; pred 2 matches nothing
+    assert fp == [1, 2]
+    assert fn == [1]
+
+
+def test_infer_pad_box():
+    from custom_d_fine_tpu.cli.infer import _pad_box
+
+    # float padding = fraction of box size
+    assert _pad_box((10, 10, 30, 30), 0.1, 0.5, 100, 100) == (8, 0, 32, 40)
+    # int padding = pixels
+    assert _pad_box((10, 10, 30, 30), 5, 5, 100, 100) == (5, 5, 35, 35)
+    # clipped at image border
+    assert _pad_box((0, 0, 30, 30), 10, 10, 100, 100) == (0, 0, 40, 40)
