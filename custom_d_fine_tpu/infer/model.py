@@ -153,21 +153,23 @@ class JaxModel:
             boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]] / p["ratio_y"], 0, oh)
 
         keep = scores >= self.conf[np.clip(labels, 0, self.num_classes - 1)]
-        boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
-        masks = dets.get("masks")
-        if masks is not None:
-            masks = masks[keep]
 
-        if self.enable_nms and len(boxes):
+        if self.enable_nms:
+            # NMS over the STATIC top-K set (one compiled scan, reused for
+            # every image) — running it on the post-filter subset would
+            # recompile per unique detection count
             import jax.numpy as jnp
 
             km = np.asarray(classwise_nms_padded(
                 jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
                 self.nms_iou_thresh,
             ))
-            boxes, scores, labels = boxes[km], scores[km], labels[km]
-            if masks is not None:
-                masks = masks[km]
+            keep = keep & km
+
+        boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+        masks = dets.get("masks")
+        if masks is not None:
+            masks = masks[keep]
 
         out = {"labels": labels, "boxes": boxes, "scores": scores}
         if masks is not None and self.task == "segment":

@@ -136,6 +136,11 @@ class Trainer:
         )
         if self.ignore_background_epochs:
             self.loader.datasets["train"].ignore_background = True
+        if t["augs"].get("multiscale_prob", 0.0) > 0:
+            logger.warning(
+                "multiscale_prob > 0: each distinct batch size (+-32/64px) "
+                "compiles its own train-step graph (one-time ~minutes each on TPU)"
+            )
 
         # ---- model ----
         from ..ops.deform_attn import resolve_impl
