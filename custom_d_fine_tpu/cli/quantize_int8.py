@@ -101,12 +101,9 @@ def main(argv=None):
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
-    if out_dir.exists():
-        import shutil
-
-        shutil.rmtree(out_dir)
     ckpt.save(out_dir.absolute(), {"params": qparams, "batch_stats": batch_stats,
-                                   "report": report})
+                                   "report": report}, force=True)
+    ckpt.wait_until_finished()  # async save must land before interpreter exit
     logger.info(f"Saved int8 model to {out_dir}")
 
 
