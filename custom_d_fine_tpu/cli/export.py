@@ -42,15 +42,19 @@ def main(argv=None):
         variants.append(("bfloat16", jnp.bfloat16))
 
     for name, dtype in variants:
-        mc = get_model_config(cfg["model_name"], enable_mask_head=(task == "segment"))
-        model, variables = build_model(mc, num_classes=num_classes,
-                                       img_size=img_size, train_batch=1, dtype=dtype)
         if weights and Path(weights).exists():
             loader = JaxModel(weights, cfg["model_name"], num_classes,
                               img_size=img_size, task=task, dtype=name,
                               smoke_test=False)
             variables = loader.variables
             model = loader.model
+        else:
+            logger.warning(f"weights not found at {weights}; exporting random init")
+            mc = get_model_config(cfg["model_name"],
+                                  enable_mask_head=(task == "segment"))
+            model, variables = build_model(mc, num_classes=num_classes,
+                                           img_size=img_size, train_batch=1,
+                                           dtype=dtype)
         path = export_and_verify(
             model, variables, img_size, out_dir / f"model_{name}.stablehlo",
             batch_size=max_bs,
