@@ -47,6 +47,7 @@ class JaxModel:
         max_batch_size: int = 1,
         dtype: str = "float32",
         msda_impl: str = "auto",   # pallas kernel on TPU, XLA gather elsewhere
+        deploy: bool = True,       # reparam-fuse VGGBlocks (deploy/reparam.py)
         smoke_test: bool = True,
     ):
         import jax
@@ -78,6 +79,12 @@ class JaxModel:
         )
         if model_path:
             variables = self._load_weights(variables, model_path, num_classes)
+        if deploy:
+            # merge VGGBlock branches into single convs (reference deploy()
+            # reparam, dfine.py:30-41) — XLA won't merge two convs itself
+            from ..deploy.reparam import convert_to_deploy
+
+            self.model, variables = convert_to_deploy(self.model, variables)
         self.variables = variables
 
         H, W = self.img_size

@@ -34,6 +34,7 @@ class DFINE(nn.Module):
     cfg: ModelConfig
     num_classes: int = 80
     msda_impl: str = "xla"
+    deploy: bool = False  # reparam-fused inference graph (deploy/reparam.py)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -49,7 +50,7 @@ class DFINE(nn.Module):
             enc_act=e.enc_act, use_encoder_idx=e.use_encoder_idx,
             num_encoder_layers=e.num_encoder_layers, pe_temperature=e.pe_temperature,
             expansion=e.expansion, depth_mult=e.depth_mult, act=e.act,
-            dtype=self.dtype, name="encoder",
+            deploy=self.deploy, dtype=self.dtype, name="encoder",
         )(feats, train=train)
         return DFINETransformer(
             num_classes=self.num_classes, hidden_dim=d.hidden_dim,

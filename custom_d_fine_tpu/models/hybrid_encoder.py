@@ -89,6 +89,7 @@ class HybridEncoder(nn.Module):
     expansion: float = 1.0
     depth_mult: float = 1.0
     act: str = "silu"
+    deploy: bool = False  # fused VGGBlocks (see deploy/reparam.py)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -138,8 +139,8 @@ class HybridEncoder(nn.Module):
             inner_outs[0] = feat_high
             up = _upsample2x_nearest(feat_high)
             fused = RepNCSPELAN4(
-                hd, hd * 2, c4, num_blocks, act=self.act, dtype=self.dtype,
-                name=f"fpn_blocks_{k}",
+                hd, hd * 2, c4, num_blocks, act=self.act, deploy=self.deploy,
+                dtype=self.dtype, name=f"fpn_blocks_{k}",
             )(jnp.concatenate([up, proj[idx - 1]], axis=-1), train=train)
             inner_outs.insert(0, fused)
 
@@ -150,8 +151,8 @@ class HybridEncoder(nn.Module):
                 outs[-1], train=train
             )
             out = RepNCSPELAN4(
-                hd, hd * 2, c4, num_blocks, act=self.act, dtype=self.dtype,
-                name=f"pan_blocks_{idx}",
+                hd, hd * 2, c4, num_blocks, act=self.act, deploy=self.deploy,
+                dtype=self.dtype, name=f"pan_blocks_{idx}",
             )(jnp.concatenate([down, inner_outs[idx + 1]], axis=-1), train=train)
             outs.append(out)
 

@@ -214,17 +214,25 @@ class SCDown(nn.Module):
 class VGGBlock(nn.Module):
     """RepVGG-style 3x3+1x1 parallel conv (reference hybrid_encoder.py:106-156).
 
-    Kept as two branches at train AND inference: XLA fuses the two convs and the
-    add into one pass; the torch deploy-time kernel merge is a CUDA-latency
-    optimization that buys nothing under XLA.
+    Trains as two branches. XLA folds each branch's BN into the conv epilogue
+    but will NOT merge two convolutions into one, so the reference's
+    `convert_to_deploy` kernel merge (hybrid_encoder.py:123-156) has a real TPU
+    equivalent: deploy=True runs a single fused 3x3 conv whose weights are
+    produced by deploy/reparam.fuse_vgg_variables (BN-fold both branches, pad
+    the 1x1 to 3x3, sum kernels and biases).
     """
 
     out_chs: int
     act: Optional[str] = "silu"
+    deploy: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.deploy:
+            y = nn.Conv(self.out_chs, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=True, dtype=self.dtype, name="fused")(x)
+            return get_activation(self.act)(y)
         y = ConvNorm(self.out_chs, 3, 1, padding=1, dtype=self.dtype, name="conv1")(x, train=train)
         y = y + ConvNorm(self.out_chs, 1, 1, padding=0, dtype=self.dtype, name="conv2")(x, train=train)
         return get_activation(self.act)(y)
@@ -237,6 +245,7 @@ class CSPLayer(nn.Module):
     num_blocks: int = 3
     expansion: float = 1.0
     act: str = "silu"
+    deploy: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -244,7 +253,8 @@ class CSPLayer(nn.Module):
         hidden = int(self.out_chs * self.expansion)
         x1 = ConvNorm(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv1")(x, train=train)
         for i in range(self.num_blocks):
-            x1 = VGGBlock(hidden, act=self.act, dtype=self.dtype, name=f"bottlenecks_{i}")(x1, train=train)
+            x1 = VGGBlock(hidden, act=self.act, deploy=self.deploy,
+                          dtype=self.dtype, name=f"bottlenecks_{i}")(x1, train=train)
         x2 = ConvNorm(hidden, 1, 1, act=self.act, dtype=self.dtype, name="conv2")(x, train=train)
         y = x1 + x2
         if hidden != self.out_chs:
@@ -260,6 +270,7 @@ class RepNCSPELAN4(nn.Module):
     c4: int
     num_blocks: int = 3
     act: str = "silu"
+    deploy: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -268,10 +279,12 @@ class RepNCSPELAN4(nn.Module):
         half = self.c3 // 2
         y1, y2 = y[..., :half], y[..., half:]
 
-        b2 = CSPLayer(self.c4, self.num_blocks, act=self.act, dtype=self.dtype, name="cv2_csp")(y2, train=train)
+        b2 = CSPLayer(self.c4, self.num_blocks, act=self.act, deploy=self.deploy,
+                      dtype=self.dtype, name="cv2_csp")(y2, train=train)
         b2 = ConvNorm(self.c4, 3, 1, act=self.act, dtype=self.dtype, name="cv2_conv")(b2, train=train)
 
-        b3 = CSPLayer(self.c4, self.num_blocks, act=self.act, dtype=self.dtype, name="cv3_csp")(b2, train=train)
+        b3 = CSPLayer(self.c4, self.num_blocks, act=self.act, deploy=self.deploy,
+                      dtype=self.dtype, name="cv3_csp")(b2, train=train)
         b3 = ConvNorm(self.c4, 3, 1, act=self.act, dtype=self.dtype, name="cv3_conv")(b3, train=train)
 
         out = jnp.concatenate([y1, y2, b2, b3], axis=-1)

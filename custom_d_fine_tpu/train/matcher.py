@@ -92,6 +92,31 @@ def mask_matching_cost(
     return jax.lax.map(per_image, (pred_masks, tgt_masks))
 
 
+def match_topk(cost: jnp.ndarray, gt_valid: jnp.ndarray, k: int) -> jnp.ndarray:
+    """One-to-many assignment (reference get_top_k_matches, matcher.py:259-285):
+    k rounds of exact assignment; after each round the matched queries are
+    masked out (cost 1e6), so every gt accumulates k DISTINCT queries.
+
+    cost [B, Q, G], gt_valid [B, G] -> assign [k, B, G] (query per gt slot,
+    round-major; invalid gt slots carry arbitrary indices — gate with gt_valid
+    exactly as for the one-to-one matcher output).
+    """
+    B, Q, _ = cost.shape
+    n_valid = gt_valid.sum(-1).astype(jnp.int32)
+    c = jnp.where(gt_valid[:, None, :], cost, 1e6)
+    rounds = []
+    for _ in range(k):
+        a = batched_assignment(c[None], n_valid)[0]  # [B, G]
+        rounds.append(a)
+        hit = gt_valid & (a >= 0) & (a < Q)
+        q = jnp.where(hit, a, 0)
+        taken = jnp.zeros((B, Q), bool).at[
+            jnp.arange(B)[:, None], q
+        ].max(hit)
+        c = jnp.where(taken[:, :, None], 1e6, c)
+    return jnp.stack(rounds, axis=0)
+
+
 def match_all_sets(
     output_sets: List[Dict[str, jnp.ndarray]],  # set 0 MUST be the final layer
     targets: Dict[str, jnp.ndarray],

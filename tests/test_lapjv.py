@@ -122,3 +122,36 @@ def test_auction_matches_scipy_cost():
             wc = costs[s, b, :, :n][rows, cols].sum()
             # quantized-exact: within R*quantum of the true optimum
             assert gc <= wc + n * 2.0 ** -13 + 1e-4, (gc, wc)
+
+
+def test_match_topk_one_to_many():
+    """k-round one-to-many matching (reference get_top_k_matches,
+    matcher.py:259-285): scipy oracle with matched-query row masking."""
+    from custom_d_fine_tpu.train.matcher import match_topk
+
+    rng = np.random.default_rng(3)
+    B, Q, G, k = 3, 30, 8, 3
+    cost = rng.normal(size=(B, Q, G)).astype(np.float32) * 4
+    n_valid = np.array([8, 2, 0], np.int32)
+    gt_valid = np.arange(G)[None, :] < n_valid[:, None]
+
+    got = np.asarray(match_topk(jnp.asarray(cost), jnp.asarray(gt_valid), k))
+    assert got.shape == (k, B, G)
+
+    for b in range(B):
+        n = int(n_valid[b])
+        if n == 0:
+            continue
+        c = cost[b, :, :n].copy()
+        want_rounds = []
+        for _ in range(k):
+            rows, cols = linear_sum_assignment(c)
+            a = np.full(n, -1)
+            a[cols] = rows
+            want_rounds.append(a)
+            c[rows, :] = 1e6
+        for r in range(k):
+            np.testing.assert_array_equal(got[r, b, :n], want_rounds[r])
+        # every gt got k distinct queries
+        qs = got[:, b, :n].reshape(-1)
+        assert len(set(qs.tolist())) == k * n
