@@ -35,9 +35,13 @@ def main():
 
     from custom_d_fine_tpu.ops.deform_attn import resolve_impl
 
+    from custom_d_fine_tpu.deploy.reparam import convert_to_deploy
+
     cfg = get_model_config("m")
     model, variables = build_model(cfg, num_classes=80, img_size=(640, 640),
                                    train_batch=1, msda_impl=resolve_impl("auto"))
+    # serving graph: VGGBlock branches reparam-fused (same as JaxModel default)
+    model, variables = convert_to_deploy(model, variables)
 
     @jax.jit
     def infer(images_u8):

@@ -198,11 +198,13 @@ def ms_deform_attn_xla(
 
 
 def resolve_impl(impl: str = "auto") -> str:
-    """'auto' -> the Pallas kernel on TPU, XLA gather elsewhere."""
+    """'auto' -> the separable Pallas kernel on TPU (per-level hybrid:
+    MXU y-interp for large levels, compare-accumulate for small ones),
+    XLA gather elsewhere."""
     if impl != "auto":
         return impl
     try:
-        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        return "pallas_sep" if jax.devices()[0].platform == "tpu" else "xla"
     except Exception:
         return "xla"
 
@@ -214,6 +216,12 @@ def ms_deform_attn(
     """Dispatch between implementations (reference keeps a similar method switch
     at arch/utils.py:90-98). impl: xla | pallas | onehot | auto."""
     impl = resolve_impl(impl)
+    if impl == "pallas_sep":
+        from .pallas.msda_sep import ms_deform_attn_sep
+
+        return ms_deform_attn_sep(
+            value, spatial_shapes, sampling_locations, attention_weights, num_points_list
+        )
     if impl == "pallas":
         from .pallas.msda import ms_deform_attn_pallas
 

@@ -93,6 +93,45 @@ def _level_kernel(idx_ref, w_ref, v_ref, out_ref, *, tile: int, n_entries: int):
     )
 
 
+def _level_fwd_onehot(value_l, loc, w, H, W, P, LQ_PAD):
+    """One level of the compare-accumulate forward: value_l [B, HW, h, c],
+    loc [B, Lq, h, P, 2], w [B, Lq, h, P] -> [BH, LQ_PAD, c]."""
+    B, HW, n_head, c = value_l.shape
+    Lq = loc.shape[1]
+    BH = B * n_head
+
+    idx, cw = _corner_idx_weights(loc, w, H, W)  # [BH, Lq, 4P]
+    if LQ_PAD != Lq:
+        idx = jnp.pad(idx, ((0, 0), (0, LQ_PAD - Lq), (0, 0)),
+                      constant_values=-1)
+        cw = jnp.pad(cw, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
+
+    # value tiles: [BH, HW_pad, c], zero-padded rows are never referenced
+    v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, HW, c).astype(jnp.float32)
+    tile = min(_round_up(HW, 128), 1024)
+    HW_pad = _round_up(HW, tile)
+    if HW_pad != HW:
+        v_l = jnp.pad(v_l, ((0, 0), (0, HW_pad - HW), (0, 0)))
+    n_tiles = HW_pad // tile
+
+    E = 4 * P
+    return pl.pallas_call(
+        functools.partial(_level_kernel, tile=tile, n_entries=E),
+        grid=(BH, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LQ_PAD, c), lambda bh, t: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, LQ_PAD, c), jnp.float32),
+    )(idx, cw, v_l)
+
+
 def _msda_pallas_fwd_impl(value, spatial_shapes, sampling_locations,
                           attention_weights, num_points_list):
     B, Len_v, n_head, c = value.shape
@@ -107,38 +146,7 @@ def _msda_pallas_fwd_impl(value, spatial_shapes, sampling_locations,
         value_l = jax.lax.slice_in_dim(value, v_off, v_off + HW, axis=1)
         loc = jax.lax.slice_in_dim(sampling_locations, p_off, p_off + P, axis=3)
         w = jax.lax.slice_in_dim(attention_weights, p_off, p_off + P, axis=3)
-
-        idx, cw = _corner_idx_weights(loc, w, H, W)  # [BH, Lq, 4P]
-        if LQ_PAD != Lq:
-            idx = jnp.pad(idx, ((0, 0), (0, LQ_PAD - Lq), (0, 0)),
-                          constant_values=-1)
-            cw = jnp.pad(cw, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
-
-        # value tiles: [BH, HW_pad, c], zero-padded rows are never referenced
-        v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, HW, c).astype(jnp.float32)
-        tile = min(_round_up(HW, 128), 1024)
-        HW_pad = _round_up(HW, tile)
-        if HW_pad != HW:
-            v_l = jnp.pad(v_l, ((0, 0), (0, HW_pad - HW), (0, 0)))
-        n_tiles = HW_pad // tile
-
-        E = 4 * P
-        level_out = pl.pallas_call(
-            functools.partial(_level_kernel, tile=tile, n_entries=E),
-            grid=(BH, n_tiles),
-            in_specs=[
-                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, LQ_PAD, c), lambda bh, t: (bh, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((BH, LQ_PAD, c), jnp.float32),
-        )(idx, cw, v_l)
-        out = out + level_out
+        out = out + _level_fwd_onehot(value_l, loc, w, H, W, P, LQ_PAD)
         v_off += HW
         p_off += P
 

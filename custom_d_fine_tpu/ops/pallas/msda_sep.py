@@ -1,0 +1,200 @@
+"""Separable Pallas TPU kernel for multi-scale deformable attention (v2).
+
+The v1 kernel (ops/pallas/msda.py) builds the combined one-hot sampling
+matrix S[q, hw] by compare-accumulate — O(Lq * HW * 4P) VPU work, which
+profiles at ~400us/decoder-layer on D-FINE-m 640 (the single largest cost in
+the whole inference graph).
+
+v2 exploits that bilinear interpolation is SEPARABLE: with one-hot-interp
+factors over rows and columns,
+
+    out[q,p,c] = sum_y sum_x Sy[qp,y] * Sx[qp,x] * V[y,x,c]
+               = sum_x Sx[qp,x] * (Sy @ V)[qp, x, c]
+
+the y-contraction is a dense MXU matmul (K=H instead of K=HW) and the
+x-contraction is a cheap VPU multiply-reduce. Factor construction costs
+O(Lq*P*(H+W)) compares instead of O(Lq*HW*4P): ~40x less one-hot work.
+Attention weights and y-border validity fold into Sy; x-border validity into
+Sx (grid_sample zero-padding semantics are separable: corner validity =
+valid_x * valid_y; reference F.grid_sample call at arch/utils.py:229-231).
+
+Backward reuses the v1 handwritten kernel (identical math, same signature).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .msda import _msda_pallas_bwd_impl, _round_up
+
+
+def _sep_factors(loc, attn, H: int, W: int):
+    """One-hot-interp row/col factors for one level.
+    loc [B, Lq, h, P, 2], attn [B, Lq, h, P] ->
+    Sy [BH, Lq, P, H] (attn + y-validity folded), Sx [BH, Lq, P, W]."""
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(jnp.float32)
+    ty = (y - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    a = attn.astype(jnp.float32)
+
+    ih = jnp.arange(H, dtype=jnp.int32)
+    iw = jnp.arange(W, dtype=jnp.int32)
+    # out-of-range corner indices simply never match the iota -> weight 0,
+    # which IS the zero-padding border rule
+    sy = (jnp.where(ih == y0i[..., None], (a * (1.0 - ty))[..., None], 0.0)
+          + jnp.where(ih == y0i[..., None] + 1, (a * ty)[..., None], 0.0))
+    sx = (jnp.where(iw == x0i[..., None], (1.0 - tx)[..., None], 0.0)
+          + jnp.where(iw == x0i[..., None] + 1, tx[..., None], 0.0))
+
+    B, Lq, h, P = a.shape
+    sy = sy.transpose(0, 2, 1, 3, 4).reshape(B * h, Lq, P, H)
+    sx = sx.transpose(0, 2, 1, 3, 4).reshape(B * h, Lq, P, W)
+    return sy, sx
+
+
+def _sep_kernel(syt_ref, sxt_ref, v_ref, out_ref, *, wtile: int, c: int):
+    """Transposed layout: queries (R) live on LANES so the W/c split lands on
+    sublanes (Mosaic cannot split the lane dim of a vector). The value block
+    stays in its NATURAL [H, wtile*c] layout — the y-contraction runs with the
+    lhs contracting dim on sublanes (free on the MXU), so no value transpose
+    is ever materialized.
+
+    Grid (BH, n_wtiles). Blocks: syt [1, H, R], sxt [1, W_pad, R] (full; the
+    kernel slices its wtile of rows), v [1, H, wtile*c], out [1, c, R]
+    (revisited across wtiles).
+
+        A^T[(x,c), r] = sum_y V[y,(x,c)] * Sy^T[y,r];  out^T += sum_x Sx^T*A^T
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # y-interp of the whole W-tile: MXU, K = H (contraction on sublanes)
+    At = jax.lax.dot_general(
+        v_ref[0], syt_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [wtile*c, R]
+    R = At.shape[-1]
+    A3 = At.reshape(wtile, c, R)  # sublane split: supported
+    sx = sxt_ref[0, pl.ds(t * wtile, wtile), :]  # [wtile, R]
+    out_ref[0, :, :] += jnp.sum(A3 * sx[:, None, :], axis=0)
+
+
+# below this spatial size the compare-accumulate kernel (O(Lq*HW*4P) VPU) is
+# cheaper than the dense y-interp matmul (K=H starves the MXU for small H)
+_SEP_MIN_HW = 4096
+
+
+def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
+                       num_points_list):
+    from .msda import _level_fwd_onehot
+
+    B, Len_v, n_head, c = value.shape
+    Lq = loc_all.shape[1]
+    BH = B * n_head
+    LQ_PAD = _round_up(Lq, 8)
+
+    out = jnp.zeros((BH, LQ_PAD, c), jnp.float32)
+    v_off = p_off = 0
+    for (H, W), P in zip(spatial_shapes, num_points_list):
+        HW = H * W
+        value_l = jax.lax.slice_in_dim(value, v_off, v_off + HW, axis=1)
+        loc = jax.lax.slice_in_dim(loc_all, p_off, p_off + P, axis=3)
+        attn = jax.lax.slice_in_dim(attn_all, p_off, p_off + P, axis=3)
+        v_off += HW
+        p_off += P
+
+        if HW < _SEP_MIN_HW:
+            out = out + _level_fwd_onehot(value_l, loc, attn, H, W, P, LQ_PAD)
+            continue
+
+        sy, sx = _sep_factors(loc, attn, H, W)  # [BH, Lq, P, H/W]
+        if LQ_PAD != Lq:
+            pad = ((0, 0), (0, LQ_PAD - Lq), (0, 0), (0, 0))
+            sy = jnp.pad(sy, pad)
+            sx = jnp.pad(sx, pad)
+        R = LQ_PAD * P
+        R_PAD = _round_up(R, 128)
+
+        # factors transposed: [BH, H/W, R_PAD] (queries on lanes); XLA fuses
+        # these transposes into the elementwise factor build — no copy
+        syt = sy.transpose(0, 3, 1, 2).reshape(BH, H, R)
+        sxt = sx.transpose(0, 3, 1, 2).reshape(BH, W, R)
+        if R_PAD != R:
+            syt = jnp.pad(syt, ((0, 0), (0, 0), (0, R_PAD - R)))
+            sxt = jnp.pad(sxt, ((0, 0), (0, 0), (0, R_PAD - R)))
+
+        wtile = max(1, min(W, 512 // c))
+        W_pad = _round_up(W, wtile)
+        n_t = W_pad // wtile
+        if W_pad != W:
+            sxt = jnp.pad(sxt, ((0, 0), (0, W_pad - W), (0, 0)))
+        # value in NATURAL layout [BH, H, W_pad*c] — just the level reshape
+        v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, H, W, c).astype(jnp.float32)
+        if W_pad != W:
+            v_l = jnp.pad(v_l, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
+        v_l = v_l.reshape(BH, H, W_pad * c)
+
+        level_out = pl.pallas_call(
+            functools.partial(_sep_kernel, wtile=wtile, c=c),
+            grid=(BH, n_t),
+            in_specs=[
+                pl.BlockSpec((1, H, R_PAD), lambda bh, t: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W_pad, R_PAD), lambda bh, t: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, wtile * c), lambda bh, t: (bh, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c, R_PAD), lambda bh, t: (bh, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BH, c, R_PAD), jnp.float32),
+        )(syt, sxt, v_l)
+
+        # [BH, c, R_PAD] -> [BH, LQ_PAD, c] with P summed out
+        lvl = level_out[:, :, :R].reshape(BH, c, LQ_PAD, P).sum(axis=3)
+        out = out + lvl.transpose(0, 2, 1)
+
+    out = out[:, :Lq].reshape(B, n_head, Lq, c).transpose(0, 2, 1, 3)
+    return out.reshape(B, Lq, n_head * c).astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def _msda_sep(value, spatial_shapes, sampling_locations, attention_weights,
+              num_points_list):
+    return _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations,
+                              attention_weights, num_points_list)
+
+
+def _fwd(value, spatial_shapes, loc, attn, num_points_list):
+    out = _msda_sep_fwd_impl(value, spatial_shapes, loc, attn, num_points_list)
+    return out, (value, loc, attn)
+
+
+def _bwd(spatial_shapes, num_points_list, res, g):
+    value, loc, attn = res
+    return _msda_pallas_bwd_impl(value, spatial_shapes, loc, attn,
+                                 num_points_list, g)
+
+
+_msda_sep.defvjp(_fwd, _bwd)
+
+
+def ms_deform_attn_sep(value, spatial_shapes, sampling_locations,
+                       attention_weights, num_points_list):
+    return _msda_sep(value, tuple(map(tuple, spatial_shapes)),
+                     sampling_locations, attention_weights,
+                     tuple(num_points_list))

@@ -148,3 +148,78 @@ def test_pallas_backward_kernel_matches_xla_grads():
     for name, a, b in zip(("dvalue", "dloc", "dattn"), gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5, err_msg=name)
+
+
+def test_pallas_sep_matches_gather_interpret():
+    """Separable (v2) kernel vs gather reference, incl. out-of-border points."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas.msda_sep import ms_deform_attn_sep
+
+    rng = np.random.default_rng(7)
+    B, Lq, nh, c = 2, 6, 2, 8
+    shapes = [(6, 8), (3, 4)]
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+
+    want = np.asarray(ms_deform_attn_xla(value, shapes, loc, w, points))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ms_deform_attn_sep(value, shapes, loc, w, points))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_sep_backward_matches_xla_grads():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas.msda_sep import ms_deform_attn_sep
+
+    rng = np.random.default_rng(8)
+    B, Lq, nh, c = 2, 5, 2, 8
+    shapes = [(6, 8), (3, 4)]
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.15, 1.15, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, Lq, nh * c)), jnp.float32)
+
+    def f_sep(v, l, a):
+        return (ms_deform_attn_sep(v, shapes, l, a, points) * cot).sum()
+
+    def f_xla(v, l, a):
+        return (ms_deform_attn_xla(v, shapes, l, a, points) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(f_sep, argnums=(0, 1, 2))(value, loc, w)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
+    for name, a, b in zip(("dvalue", "dloc", "dattn"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+
+
+def test_pallas_sep_large_level_branch_interpret():
+    """Shapes that cross _SEP_MIN_HW exercise the separable MXU branch
+    (small levels route to the compare-accumulate kernel)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas.msda_sep import ms_deform_attn_sep
+
+    rng = np.random.default_rng(9)
+    B, Lq, nh, c = 1, 6, 2, 8
+    shapes = [(64, 64), (3, 4)]  # 4096 -> separable; 12 -> onehot
+    points = [2, 2]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+
+    want = np.asarray(ms_deform_attn_xla(value, shapes, loc, w, points))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ms_deform_attn_sep(value, shapes, loc, w, points))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
