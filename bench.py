@@ -39,7 +39,7 @@ def main():
 
     cfg = get_model_config("m")
     model, variables = build_model(cfg, num_classes=80, img_size=(640, 640),
-                                   train_batch=1, msda_impl=resolve_impl("auto"))
+                                   train_batch=1, msda_impl=resolve_impl("serve"))
     # serving graph: VGGBlock branches reparam-fused (same as JaxModel default)
     model, variables = convert_to_deploy(model, variables)
 

@@ -42,7 +42,8 @@ class DFINE(nn.Module):
         b, e, d = self.cfg.backbone, self.cfg.encoder, self.cfg.decoder
         feats = HGNetv2(
             arch=b.name, return_idx=b.return_idx, use_lab=b.use_lab,
-            freeze_norm=b.freeze_norm, dtype=self.dtype, name="backbone",
+            freeze_norm=b.freeze_norm, deploy=self.deploy,
+            dtype=self.dtype, name="backbone",
         )(x, train=train)
         feats = HybridEncoder(
             in_channels=e.in_channels, feat_strides=e.feat_strides,

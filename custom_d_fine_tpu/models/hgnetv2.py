@@ -95,6 +95,7 @@ class StemBlock(nn.Module):
     out_chs: int
     use_lab: bool = False
     frozen_norm: bool = False
+    deploy: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -106,8 +107,13 @@ class StemBlock(nn.Module):
         x2 = ConvBNAct(self.mid_chs // 2, 2, name="stem2a", **kw)(x, train=train)  # k2, valid
         x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
         x2 = ConvBNAct(self.mid_chs, 2, name="stem2b", **kw)(x2, train=train)
-        # maxpool k2 s1 (ceil_mode on the padded input == valid here)
-        x1 = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        # maxpool k2 s1 (ceil_mode on the padded input == valid here), written
+        # as an elementwise max of the 4 shifted views: identical values, but
+        # XLA fuses this where it cannot fuse reduce-window
+        x1 = jnp.maximum(
+            jnp.maximum(x[:, :-1, :-1], x[:, 1:, :-1]),
+            jnp.maximum(x[:, :-1, 1:], x[:, 1:, 1:]),
+        )
         x = jnp.concatenate([x1, x2], axis=-1)
         x = ConvBNAct(self.mid_chs, 3, stride=2, name="stem3", **kw)(x, train=train)
         x = ConvBNAct(self.out_chs, 1, name="stem4", **kw)(x, train=train)
@@ -198,6 +204,7 @@ class HGNetv2(nn.Module):
     return_idx: Tuple[int, ...] = (1, 2, 3)
     use_lab: bool = False
     freeze_norm: bool = False
+    deploy: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -206,7 +213,8 @@ class HGNetv2(nn.Module):
         stem_chs = cfg["stem_channels"]
         x = StemBlock(
             stem_chs[1], stem_chs[2], use_lab=self.use_lab,
-            frozen_norm=self.freeze_norm, dtype=self.dtype, name="stem",
+            frozen_norm=self.freeze_norm, deploy=self.deploy,
+            dtype=self.dtype, name="stem",
         )(x, train=train)
         outs = []
         for i, (in_c, mid_c, out_c, nb, ds, light, k, ln) in enumerate(cfg["stages"]):

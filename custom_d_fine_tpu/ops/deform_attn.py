@@ -200,7 +200,14 @@ def ms_deform_attn_xla(
 def resolve_impl(impl: str = "auto") -> str:
     """'auto' -> the separable Pallas kernel on TPU (per-level hybrid:
     MXU y-interp for large levels, compare-accumulate for small ones),
-    XLA gather elsewhere."""
+    XLA gather elsewhere. 'serve' -> the bf16 single-MXU-pass variant of the
+    same kernel (inference-only precision/latency tradeoff), XLA elsewhere."""
+    if impl == "serve":
+        try:
+            return ("pallas_sep_fast" if jax.devices()[0].platform == "tpu"
+                    else "xla")
+        except Exception:
+            return "xla"
     if impl != "auto":
         return impl
     try:
@@ -216,11 +223,12 @@ def ms_deform_attn(
     """Dispatch between implementations (reference keeps a similar method switch
     at arch/utils.py:90-98). impl: xla | pallas | onehot | auto."""
     impl = resolve_impl(impl)
-    if impl == "pallas_sep":
+    if impl in ("pallas_sep", "pallas_sep_fast"):
         from .pallas.msda_sep import ms_deform_attn_sep
 
         return ms_deform_attn_sep(
-            value, spatial_shapes, sampling_locations, attention_weights, num_points_list
+            value, spatial_shapes, sampling_locations, attention_weights,
+            num_points_list, fast=(impl == "pallas_sep_fast")
         )
     if impl == "pallas":
         from .pallas.msda import ms_deform_attn_pallas

@@ -66,7 +66,8 @@ def _corner_idx_weights(loc, attn_w, H: int, W: int):
     return idx, w
 
 
-def _level_kernel(idx_ref, w_ref, v_ref, out_ref, *, tile: int, n_entries: int):
+def _level_kernel(idx_ref, w_ref, v_ref, out_ref, *, tile: int, n_entries: int,
+                  fast: bool = False):
     """Grid (BH, n_tiles). Blocks: idx/w [1, LQ_PAD, E], v [1, tile, c],
     out [1, LQ_PAD, c] (revisited across tiles)."""
     t = pl.program_id(1)
@@ -86,14 +87,15 @@ def _level_kernel(idx_ref, w_ref, v_ref, out_ref, *, tile: int, n_entries: int):
         s = s + jnp.where(col_ids == idx_e, w_e, 0.0)
 
     # HIGHEST: full-f32 MXU passes — the matmuls here are tiny (<=10us total),
-    # and default bf16 passes cost ~1e-2 output error vs the gather reference
+    # and default bf16 passes cost ~1e-2 output error vs the gather reference.
+    # fast (serving) mode takes the single bf16 pass.
     out_ref[0, :, :] += jnp.dot(
         s, v_ref[0], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None if fast else jax.lax.Precision.HIGHEST,
     )
 
 
-def _level_fwd_onehot(value_l, loc, w, H, W, P, LQ_PAD):
+def _level_fwd_onehot(value_l, loc, w, H, W, P, LQ_PAD, fast: bool = False):
     """One level of the compare-accumulate forward: value_l [B, HW, h, c],
     loc [B, Lq, h, P, 2], w [B, Lq, h, P] -> [BH, LQ_PAD, c]."""
     B, HW, n_head, c = value_l.shape
@@ -116,7 +118,7 @@ def _level_fwd_onehot(value_l, loc, w, H, W, P, LQ_PAD):
 
     E = 4 * P
     return pl.pallas_call(
-        functools.partial(_level_kernel, tile=tile, n_entries=E),
+        functools.partial(_level_kernel, tile=tile, n_entries=E, fast=fast),
         grid=(BH, n_tiles),
         in_specs=[
             pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),

@@ -62,7 +62,8 @@ def _sep_factors(loc, attn, H: int, W: int):
     return sy, sx
 
 
-def _sep_kernel(syt_ref, sxt_ref, v_ref, out_ref, *, wtile: int, c: int):
+def _sep_kernel(syt_ref, sxt_ref, v_ref, out_ref, *, wtile: int, c: int,
+                fast: bool = False):
     """Transposed layout: queries (R) live on LANES so the W/c split lands on
     sublanes (Mosaic cannot split the lane dim of a vector). The value block
     stays in its NATURAL [H, wtile*c] layout — the y-contraction runs with the
@@ -81,11 +82,13 @@ def _sep_kernel(syt_ref, sxt_ref, v_ref, out_ref, *, wtile: int, c: int):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # y-interp of the whole W-tile: MXU, K = H (contraction on sublanes)
+    # y-interp of the whole W-tile: MXU, K = H (contraction on sublanes).
+    # fast mode: bf16 inputs, one MXU pass (vs 6 passes for f32 HIGHEST) —
+    # serving-only; ~1e-2 rel output error, imperceptible after sigmoid/top-K.
     At = jax.lax.dot_general(
         v_ref[0], syt_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None if fast else jax.lax.Precision.HIGHEST,
     )  # [wtile*c, R]
     R = At.shape[-1]
     A3 = At.reshape(wtile, c, R)  # sublane split: supported
@@ -96,16 +99,21 @@ def _sep_kernel(syt_ref, sxt_ref, v_ref, out_ref, *, wtile: int, c: int):
 # below this spatial size the compare-accumulate kernel (O(Lq*HW*4P) VPU) is
 # cheaper than the dense y-interp matmul (K=H starves the MXU for small H)
 _SEP_MIN_HW = 4096
+# fast (bf16) mode: one MXU pass makes the y-interp matmul cheap enough that
+# the 40x40 level also wins over compare-accumulate
+_SEP_MIN_HW_FAST = 1024
 
 
 def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
-                       num_points_list):
+                       num_points_list, fast: bool = False):
     from .msda import _level_fwd_onehot
 
     B, Len_v, n_head, c = value.shape
     Lq = loc_all.shape[1]
     BH = B * n_head
     LQ_PAD = _round_up(Lq, 8)
+    min_hw = _SEP_MIN_HW_FAST if fast else _SEP_MIN_HW
+    compute_dtype = jnp.bfloat16 if fast else jnp.float32
 
     out = jnp.zeros((BH, LQ_PAD, c), jnp.float32)
     v_off = p_off = 0
@@ -117,8 +125,9 @@ def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
         v_off += HW
         p_off += P
 
-        if HW < _SEP_MIN_HW:
-            out = out + _level_fwd_onehot(value_l, loc, attn, H, W, P, LQ_PAD)
+        if HW < min_hw:
+            out = out + _level_fwd_onehot(value_l, loc, attn, H, W, P, LQ_PAD,
+                                          fast=fast)
             continue
 
         sy, sx = _sep_factors(loc, attn, H, W)  # [BH, Lq, P, H/W]
@@ -131,8 +140,8 @@ def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
 
         # factors transposed: [BH, H/W, R_PAD] (queries on lanes); XLA fuses
         # these transposes into the elementwise factor build — no copy
-        syt = sy.transpose(0, 3, 1, 2).reshape(BH, H, R)
-        sxt = sx.transpose(0, 3, 1, 2).reshape(BH, W, R)
+        syt = sy.transpose(0, 3, 1, 2).reshape(BH, H, R).astype(compute_dtype)
+        sxt = sx.transpose(0, 3, 1, 2).reshape(BH, W, R).astype(compute_dtype)
         if R_PAD != R:
             syt = jnp.pad(syt, ((0, 0), (0, 0), (0, R_PAD - R)))
             sxt = jnp.pad(sxt, ((0, 0), (0, 0), (0, R_PAD - R)))
@@ -143,13 +152,13 @@ def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
         if W_pad != W:
             sxt = jnp.pad(sxt, ((0, 0), (0, W_pad - W), (0, 0)))
         # value in NATURAL layout [BH, H, W_pad*c] — just the level reshape
-        v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, H, W, c).astype(jnp.float32)
+        v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, H, W, c).astype(compute_dtype)
         if W_pad != W:
             v_l = jnp.pad(v_l, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
         v_l = v_l.reshape(BH, H, W_pad * c)
 
         level_out = pl.pallas_call(
-            functools.partial(_sep_kernel, wtile=wtile, c=c),
+            functools.partial(_sep_kernel, wtile=wtile, c=c, fast=fast),
             grid=(BH, n_t),
             in_specs=[
                 pl.BlockSpec((1, H, R_PAD), lambda bh, t: (bh, 0, 0),
@@ -172,19 +181,20 @@ def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
     return out.reshape(B, Lq, n_head * c).astype(value.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
 def _msda_sep(value, spatial_shapes, sampling_locations, attention_weights,
-              num_points_list):
+              num_points_list, fast):
     return _msda_sep_fwd_impl(value, spatial_shapes, sampling_locations,
-                              attention_weights, num_points_list)
+                              attention_weights, num_points_list, fast=fast)
 
 
-def _fwd(value, spatial_shapes, loc, attn, num_points_list):
-    out = _msda_sep_fwd_impl(value, spatial_shapes, loc, attn, num_points_list)
+def _fwd(value, spatial_shapes, loc, attn, num_points_list, fast):
+    out = _msda_sep_fwd_impl(value, spatial_shapes, loc, attn, num_points_list,
+                             fast=fast)
     return out, (value, loc, attn)
 
 
-def _bwd(spatial_shapes, num_points_list, res, g):
+def _bwd(spatial_shapes, num_points_list, fast, res, g):
     value, loc, attn = res
     return _msda_pallas_bwd_impl(value, spatial_shapes, loc, attn,
                                  num_points_list, g)
@@ -194,7 +204,7 @@ _msda_sep.defvjp(_fwd, _bwd)
 
 
 def ms_deform_attn_sep(value, spatial_shapes, sampling_locations,
-                       attention_weights, num_points_list):
+                       attention_weights, num_points_list, fast: bool = False):
     return _msda_sep(value, tuple(map(tuple, spatial_shapes)),
                      sampling_locations, attention_weights,
-                     tuple(num_points_list))
+                     tuple(num_points_list), bool(fast))

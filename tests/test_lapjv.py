@@ -94,64 +94,3 @@ def test_native_cpp_lapjv_matches_scipy():
         want = costs[p, :n][rows, cols].sum()
         have = sum(costs[p, g, got[p, g]] for g in range(n))
         np.testing.assert_allclose(have, want, rtol=1e-5)
-
-
-@pytest.mark.skip(reason="forward auction is suboptimal on rectangular problems; "
-                  "needs the forward-reverse variant (see ops/auction.py docstring)")
-def test_auction_matches_scipy_cost():
-    from custom_d_fine_tpu.ops.auction import batched_assignment_auction
-
-    rng = np.random.default_rng(7)
-    S, B, Q, G = 4, 5, 40, 12
-    costs = rng.normal(size=(S, B, Q, G)).astype(np.float32) * 5
-    n_valid = np.array([0, 3, 12, 7, 1], np.int32)
-    for b in range(B):
-        costs[:, b, :, n_valid[b]:] = 1e6
-    got = np.asarray(batched_assignment_auction(jnp.asarray(costs), jnp.asarray(n_valid)))
-    for s in range(S):
-        for b in range(B):
-            n = int(n_valid[b])
-            assert (got[s, b, n:] == -1).all()
-            if n == 0:
-                continue
-            qs = got[s, b, :n]
-            assert (qs >= 0).all(), f"unassigned rows s={s} b={b}: {qs}"
-            assert len(set(qs.tolist())) == n
-            gc = sum(costs[s, b, qs[g], g] for g in range(n))
-            rows, cols = linear_sum_assignment(costs[s, b, :, :n])
-            wc = costs[s, b, :, :n][rows, cols].sum()
-            # quantized-exact: within R*quantum of the true optimum
-            assert gc <= wc + n * 2.0 ** -13 + 1e-4, (gc, wc)
-
-
-def test_match_topk_one_to_many():
-    """k-round one-to-many matching (reference get_top_k_matches,
-    matcher.py:259-285): scipy oracle with matched-query row masking."""
-    from custom_d_fine_tpu.train.matcher import match_topk
-
-    rng = np.random.default_rng(3)
-    B, Q, G, k = 3, 30, 8, 3
-    cost = rng.normal(size=(B, Q, G)).astype(np.float32) * 4
-    n_valid = np.array([8, 2, 0], np.int32)
-    gt_valid = np.arange(G)[None, :] < n_valid[:, None]
-
-    got = np.asarray(match_topk(jnp.asarray(cost), jnp.asarray(gt_valid), k))
-    assert got.shape == (k, B, G)
-
-    for b in range(B):
-        n = int(n_valid[b])
-        if n == 0:
-            continue
-        c = cost[b, :, :n].copy()
-        want_rounds = []
-        for _ in range(k):
-            rows, cols = linear_sum_assignment(c)
-            a = np.full(n, -1)
-            a[cols] = rows
-            want_rounds.append(a)
-            c[rows, :] = 1e6
-        for r in range(k):
-            np.testing.assert_array_equal(got[r, b, :n], want_rounds[r])
-        # every gt got k distinct queries
-        qs = got[:, b, :n].reshape(-1)
-        assert len(set(qs.tolist())) == k * n
