@@ -43,11 +43,9 @@ def main():
     # serving graph: VGGBlock branches reparam-fused (same as JaxModel default)
     model, variables = convert_to_deploy(model, variables)
 
-    @jax.jit
-    def infer(images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        out = model.apply(variables, x, train=False)
-        return topk_detections(out["pred_logits"], out["pred_boxes"], 300, (640, 640))
+    from custom_d_fine_tpu.deploy.serving import make_serving_forward
+
+    infer = jax.jit(make_serving_forward(model, variables, (640, 640)))
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 255, (1, 640, 640, 3)), jnp.uint8)

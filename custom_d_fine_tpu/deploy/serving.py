@@ -1,0 +1,70 @@
+"""Canonical serving forward: one place that assembles the deployed graph.
+
+Reference counterpart: the ExportWrapper + per-backend runtimes
+(src/dl/export.py:103-115, src/infer/*_model.py) — here a single jittable
+function covers every consumer (bench, JaxModel, jax.export artifact,
+__graft_entry__).
+
+Graph: uint8 image -> on-device normalize -> [Pallas fused stem on TPU,
+ops/pallas/stem.py] -> backbone stages/encoder/decoder (with the serving MSDA
+kernel) -> fused top-K postprocessor. The fused stem is used only on TPU for
+supported sizes (H % 32 == 0, W % 4 == 0) and can be disabled explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.postprocess import topk_detections
+
+
+def make_serving_forward(
+    model,
+    variables,
+    img_size: Tuple[int, int],
+    num_top: int = 300,
+    use_fused_stem: Optional[bool] = None,
+):
+    """(deploy model, variables) -> fn(images_u8 [B,H,W,3]) -> detections.
+
+    `model`/`variables` should already be deploy-converted
+    (deploy/reparam.convert_to_deploy). Returns an un-jitted callable; wrap
+    in jax.jit at the call site (so callers control donation/sharding).
+    """
+    H, W = img_size
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    fused = (on_tpu and H % 32 == 0 and W % 4 == 0
+             if use_fused_stem is None else use_fused_stem)
+
+    if fused:
+        from ..ops.pallas.stem import fold_stem_weights, fused_stem
+
+        fw = fold_stem_weights(
+            variables["params"]["backbone"]["stem"],
+            variables["batch_stats"]["backbone"]["stem"],
+        )
+        stem_model = model.clone(stem_external=True)
+
+        def forward(images_u8):
+            x = images_u8.astype(jnp.float32)  # raw 0..255; /255 is folded
+            stem_out = fused_stem(x, fw, fast=True)
+            out = stem_model.apply(variables, stem_out, train=False)
+            return topk_detections(out["pred_logits"], out["pred_boxes"],
+                                   num_top, (H, W),
+                                   pred_masks=out.get("pred_masks"))
+    else:
+
+        def forward(images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            out = model.apply(variables, x, train=False)
+            return topk_detections(out["pred_logits"], out["pred_boxes"],
+                                   num_top, (H, W),
+                                   pred_masks=out.get("pred_masks"))
+
+    return forward

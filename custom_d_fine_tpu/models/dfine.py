@@ -35,6 +35,7 @@ class DFINE(nn.Module):
     num_classes: int = 80
     msda_impl: str = "xla"
     deploy: bool = False  # reparam-fused inference graph (deploy/reparam.py)
+    stem_external: bool = False  # serving: input is the precomputed stem output
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -43,6 +44,7 @@ class DFINE(nn.Module):
         feats = HGNetv2(
             arch=b.name, return_idx=b.return_idx, use_lab=b.use_lab,
             freeze_norm=b.freeze_norm, deploy=self.deploy,
+            stem_external=self.stem_external,
             dtype=self.dtype, name="backbone",
         )(x, train=train)
         feats = HybridEncoder(

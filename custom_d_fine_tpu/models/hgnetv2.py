@@ -205,17 +205,21 @@ class HGNetv2(nn.Module):
     use_lab: bool = False
     freeze_norm: bool = False
     deploy: bool = False
+    # serving option: the input is already the stem output (computed by the
+    # fused Pallas stem kernel, ops/pallas/stem.py) — skip StemBlock
+    stem_external: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         cfg = ARCH_CONFIGS[self.arch]
         stem_chs = cfg["stem_channels"]
-        x = StemBlock(
-            stem_chs[1], stem_chs[2], use_lab=self.use_lab,
-            frozen_norm=self.freeze_norm, deploy=self.deploy,
-            dtype=self.dtype, name="stem",
-        )(x, train=train)
+        if not self.stem_external:
+            x = StemBlock(
+                stem_chs[1], stem_chs[2], use_lab=self.use_lab,
+                frozen_norm=self.freeze_norm, deploy=self.deploy,
+                dtype=self.dtype, name="stem",
+            )(x, train=train)
         outs = []
         for i, (in_c, mid_c, out_c, nb, ds, light, k, ln) in enumerate(cfg["stages"]):
             x = HGStage(

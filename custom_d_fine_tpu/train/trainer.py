@@ -151,6 +151,21 @@ class Trainer:
             train_batch=2, dtype=self.dtype,
             msda_impl=resolve_impl(t.get("msda_impl", "auto")),
         )
+        if self.model_cfg.backbone.pretrained and not t.get("pretrained_model_path"):
+            # ImageNet stage-1 backbone init (reference hgnetv2.py:490-545);
+            # skipped when a full D-FINE checkpoint is loaded right after.
+            from ..utils.torch_convert import load_hgnetv2_pretrained
+
+            variables, rep = load_hgnetv2_pretrained(
+                variables, self.model_cfg.backbone.name,
+                self.model_cfg.backbone.local_model_dir,
+            )
+            if "error" not in rep:
+                logger.info(
+                    f"Loaded pretrained HGNetv2 {self.model_cfg.backbone.name}: "
+                    f"{len(rep['missed'])} backbone keys missed, "
+                    f"{len(rep['unmatched'])} unmatched"
+                )
         if t.get("pretrained_model_path"):
             variables = self._load_pretrained(variables, t["pretrained_model_path"])
 

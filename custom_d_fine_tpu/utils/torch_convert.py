@@ -242,3 +242,64 @@ def load_torch_checkpoint_file(path: str) -> Dict[str, np.ndarray]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = unwrap_torch_checkpoint(ckpt)
     return {k: np.asarray(v.detach() if hasattr(v, "detach") else v) for k, v in sd.items()}
+
+
+# ImageNet stage-1 HGNetv2 weights (reference hgnetv2.py arch_configs "url"
+# entries, hgnetv2.py:354,370,...): torch state_dicts with bare backbone keys.
+HGNETV2_URLS = {
+    arch: "https://github.com/Peterande/storage/releases/download/dfinev1.0/"
+          f"PPHGNetV2_{arch}_stage1.pth"
+    for arch in ("B0", "B1", "B2", "B3", "B4", "B5", "B6")
+}
+
+
+def load_hgnetv2_pretrained(
+    variables,
+    arch: str,
+    local_model_dir: str = "weight/hgnetv2/",
+    download: bool = True,
+):
+    """Load ImageNet-pretrained stage-1 HGNetv2 weights into the backbone
+    subtree (reference hgnetv2.py:490-545: local file first, then URL
+    download; here a failed download degrades to a warning instead of
+    exit() so air-gapped training can proceed from random init).
+
+    Returns (variables, report); report["missed"] is filtered to backbone
+    keys so callers can assert a complete load.
+    """
+    from pathlib import Path
+
+    path = Path(local_model_dir) / f"PPHGNetV2_{arch}_stage1.pth"
+    state = None
+    if path.exists():
+        state = load_torch_checkpoint_file(str(path))
+    elif download:
+        try:
+            import torch
+
+            sd = torch.hub.load_state_dict_from_url(
+                HGNETV2_URLS[arch], map_location="cpu", model_dir=str(local_model_dir)
+            )
+            state = {k: np.asarray(v) for k, v in sd.items()}
+        except Exception as e:  # no egress / bad mirror: warn, keep random init
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not obtain pretrained HGNetv2 %s (%s); download manually "
+                "from %s to %s", arch, e, HGNETV2_URLS[arch], local_model_dir,
+            )
+            return variables, {"error": str(e)}
+    if state is None:
+        return variables, {"error": f"{path} not found and download disabled"}
+
+    state = {f"backbone.{k}": v for k, v in state.items()}
+    params, stats, report = convert_torch_state(
+        state, variables["params"], variables["batch_stats"]
+    )
+    report["missed"] = [
+        (col, k) for col, k in report["missed"] if k.startswith("backbone/")
+    ]
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = stats
+    return out, report
