@@ -53,12 +53,12 @@ def main():
     # warmup: compile + settle
     det = infer(img)
     np.asarray(det["scores"])
-    for _ in range(10):
+    for _ in range(30):
         det = infer(img)
     np.asarray(det["scores"])
 
     # headline: pipelined steady-state latency per image
-    N = 100
+    N = 400
     t0 = time.perf_counter()
     out = None
     for _ in range(N):

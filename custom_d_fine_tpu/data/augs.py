@@ -30,6 +30,7 @@ class AugConfig:
     rotation_degree: float = 10.0
     rotation_p: float = 0.05
     multiscale_prob: float = 0.0
+    multiscale_deltas: tuple = (-64, -32, 32, 64)  # batch canvas +- px
     rotate_90: float = 0.05
     left_right_flip: float = 0.3
     up_down_flip: float = 0.0

@@ -40,12 +40,14 @@ class BatchIterator:
 
     def __init__(self, dataset: DFineDataset, order: np.ndarray, batch_size: int,
                  num_workers: int, drop_last: bool, multiscale_prob: float,
-                 rng: np.random.Generator, prefetch: int = 4):
+                 rng: np.random.Generator, prefetch: int = 4,
+                 multiscale_deltas=(-64, -32, 32, 64)):
         self.dataset = dataset
         self.order = order
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.multiscale_prob = multiscale_prob
+        self.multiscale_deltas = tuple(multiscale_deltas)
         self.rng = rng
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
@@ -71,7 +73,7 @@ class BatchIterator:
         # multiscale: resize the whole batch by +-{32,64}px; normalized boxes
         # untouched (reference dataset.py:667-694)
         if self.multiscale_prob > 0 and self.rng.random() < self.multiscale_prob:
-            delta = int(self.rng.choice([-64, -32, 32, 64]))
+            delta = int(self.rng.choice(self.multiscale_deltas))
             h = batch["images"].shape[1] + delta
             w = batch["images"].shape[2] + delta
             batch["images"] = np.stack([
@@ -135,6 +137,7 @@ class Loader:
         aug_cfg=None,
         mosaic_cfg=None,
         multiscale_prob: float = 0.0,
+        multiscale_deltas=(-64, -32, 32, 64),
         seed: int = 42,
         label_to_name: Optional[Dict[int, str]] = None,
         mask_downsample: int = 4,
@@ -145,6 +148,7 @@ class Loader:
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.multiscale_prob = multiscale_prob
+        self.multiscale_deltas = tuple(multiscale_deltas)
         self.seed = seed
         self.rng = np.random.default_rng(seed)
 
@@ -204,4 +208,5 @@ class Loader:
             ds, order, self.batch_size, self.num_workers, drop_last,
             self.multiscale_prob if split == "train" else 0.0,
             self.rng,
+            multiscale_deltas=self.multiscale_deltas,
         )

@@ -27,6 +27,7 @@ def make_serving_forward(
     img_size: Tuple[int, int],
     num_top: int = 300,
     use_fused_stem: Optional[bool] = None,
+    fast_topk: bool = True,
 ):
     """(deploy model, variables) -> fn(images_u8 [B,H,W,3]) -> detections.
 
@@ -41,6 +42,8 @@ def make_serving_forward(
         on_tpu = False
     fused = (on_tpu and H % 32 == 0 and W % 4 == 0
              if use_fused_stem is None else use_fused_stem)
+    if fast_topk:
+        model = model.clone(fast_topk=True)
 
     if fused:
         from ..ops.pallas.stem import fold_stem_weights, fused_stem
@@ -57,7 +60,8 @@ def make_serving_forward(
             out = stem_model.apply(variables, stem_out, train=False)
             return topk_detections(out["pred_logits"], out["pred_boxes"],
                                    num_top, (H, W),
-                                   pred_masks=out.get("pred_masks"))
+                                   pred_masks=out.get("pred_masks"),
+                                   approx=fast_topk)
     else:
 
         def forward(images_u8):
@@ -65,6 +69,7 @@ def make_serving_forward(
             out = model.apply(variables, x, train=False)
             return topk_detections(out["pred_logits"], out["pred_boxes"],
                                    num_top, (H, W),
-                                   pred_masks=out.get("pred_masks"))
+                                   pred_masks=out.get("pred_masks"),
+                                   approx=fast_topk)
 
     return forward

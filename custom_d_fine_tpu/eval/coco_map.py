@@ -1,26 +1,55 @@
-"""COCO-style mean average precision (pure numpy).
+"""COCO-style mean average precision (pure numpy, COCOeval-faithful).
 
 Replaces the reference's torchmetrics MeanAveragePrecision(faster_coco_eval)
 dependency (src/dl/validator.py:52-67,109-127) with a self-contained
-implementation of the COCOeval protocol: per-(class, IoU-threshold) greedy
-score-ordered matching, 101-point interpolated precision, IoU thresholds
-0.50:0.05:0.95, maxDets=100. Supports box IoU and mask IoU ("segm").
+implementation of the pycocotools COCOeval protocol:
+
+- per-(class, image) greedy score-ordered matching with the exact COCOeval
+  tie-breaks: a detection takes the best-IoU *non-ignored* unmatched GT above
+  the threshold; only if none qualifies may it match an ignored/crowd GT
+  (COCOeval.evaluateImg's `gtIg[m]==0 and gtIg[gind]==1 -> break` rule);
+- crowd GTs (gt["iscrowd"]) can absorb multiple detections and mark them
+  ignored (neither TP nor FP);
+- area-range buckets (all / small <32^2 / medium / large >96^2): out-of-range
+  GTs are ignored, and *unmatched* detections whose area falls outside the
+  range are ignored rather than counted as FP;
+- maxDets truncation applied per image per category, exactly where
+  pycocotools applies it (evaluateImg `dt=dt[0:maxDet]`; note this is
+  pycocotools' documented deviation from the paper's "100 per image" — it is
+  the number torchmetrics/faster-coco-eval print, which is the parity target);
+- 101-point interpolated precision, IoU thresholds 0.50:0.05:0.95, stable
+  (mergesort) score ordering, classes with no GT excluded from the mean.
+
+Supports box IoU and mask IoU ("segm"; crowd semantics follow the same
+ignore rules, with mask pixel count as the area).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
+# COCOeval.params.areaRng
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
 
-def _box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """a [N,4], b [M,4] xyxy -> [N,M]."""
+
+def _box_iou(a: np.ndarray, b: np.ndarray,
+             b_crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """a [N,4] dt, b [M,4] gt xyxy -> [N,M]. Crowd GT uses IoA (maskUtils.iou
+    `iscrowd` semantics: union = det area)."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.float32)
+    if b_crowd is None:
+        b_crowd = np.zeros(len(b), bool)
     area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
     area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
@@ -28,49 +57,103 @@ def _box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     wh = np.clip(rb - lt, 0, None)
     inter = wh[..., 0] * wh[..., 1]
     union = area_a[:, None] + area_b[None, :] - inter
+    union = np.where(b_crowd[None, :], area_a[:, None], union)
     return np.where(union > 0, inter / union, 0.0).astype(np.float32)
 
 
-def _mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """a [N,H,W], b [M,H,W] binary -> [N,M]."""
+def _mask_iou(a: np.ndarray, b: np.ndarray,
+              b_crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """a [N,H,W], b [M,H,W] binary -> [N,M]; crowd GT uses IoA."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.float32)
+    if b_crowd is None:
+        b_crowd = np.zeros(len(b), bool)
     af = a.reshape(len(a), -1).astype(np.float32)
     bf = b.reshape(len(b), -1).astype(np.float32)
     inter = af @ bf.T
     union = af.sum(1)[:, None] + bf.sum(1)[None, :] - inter
+    union = np.where(b_crowd[None, :], af.sum(1)[:, None], union)
     return np.where(union > 0, inter / union, 0.0).astype(np.float32)
 
 
-def _ap_per_class(
-    scores: np.ndarray,       # [D] detection scores (all images, one class)
-    matched: np.ndarray,      # [T, D] bool: detection matched at iou threshold t
+def _areas(items: np.ndarray, iou_type: str) -> np.ndarray:
+    if len(items) == 0:
+        return np.zeros((0,), np.float32)
+    if iou_type == "segm":
+        return items.reshape(len(items), -1).astype(bool).sum(1).astype(np.float32)
+    return ((items[:, 2] - items[:, 0]) * (items[:, 3] - items[:, 1])).astype(np.float32)
+
+
+def _match_image(
+    ious: np.ndarray,        # [D, G] detection-major, score-sorted detections
+    gt_ignore: np.ndarray,   # [G] bool (crowd or out-of-area-range)
+    gt_crowd: np.ndarray,    # [G] bool
+    dt_out_of_range: np.ndarray,  # [D] bool
+) -> Tuple[np.ndarray, np.ndarray]:
+    """COCOeval.evaluateImg matching for all IoU thresholds.
+
+    Returns (tp [T,D], dt_ig [T,D]). GTs must be ordered non-ignored first
+    (COCOeval sorts by ignore flag); `ious` columns follow that order.
+    """
+    T = len(IOU_THRESHOLDS)
+    D, G = ious.shape
+    tp = np.zeros((T, D), bool)
+    dt_ig = np.zeros((T, D), bool)
+    for t, thr in enumerate(IOU_THRESHOLDS):
+        gt_m = np.full(G, -1)
+        for d in range(D):
+            best = min(thr, 1.0 - 1e-10)
+            m = -1
+            for g in range(G):
+                if gt_m[g] >= 0 and not gt_crowd[g]:
+                    continue  # non-crowd GT already consumed
+                if m > -1 and not gt_ignore[m] and gt_ignore[g]:
+                    break  # have a real match; remaining GTs are all ignored
+                if ious[d, g] < best:
+                    continue
+                best = ious[d, g]
+                m = g
+            if m == -1:
+                # unmatched: FP unless the detection itself is out of range
+                dt_ig[t, d] = dt_out_of_range[d]
+                continue
+            gt_m[m] = d
+            dt_ig[t, d] = gt_ignore[m]  # match to crowd/out-of-range GT
+            tp[t, d] = not gt_ignore[m]
+    return tp, dt_ig
+
+
+def _ap_from_matches(
+    scores: np.ndarray,   # [D]
+    tp: np.ndarray,       # [T, D]
+    dt_ig: np.ndarray,    # [T, D]
     n_gt: int,
-) -> np.ndarray:
-    """101-point interpolated AP per IoU threshold -> [T]."""
-    T, D = matched.shape
+) -> Tuple[np.ndarray, np.ndarray]:
+    """101-point interpolated AP and final recall per IoU threshold -> ([T],[T])."""
+    T = tp.shape[0]
     if n_gt == 0:
-        return np.full((T,), np.nan)
-    if D == 0:
-        return np.zeros((T,))
-    order = np.argsort(-scores, kind="stable")
-    m = matched[:, order]
-    tp = np.cumsum(m, axis=1)
-    fp = np.cumsum(~m, axis=1)
-    recall = tp / n_gt
-    precision = tp / np.maximum(tp + fp, 1e-12)
+        return np.full((T,), np.nan), np.full((T,), np.nan)
+    order = np.argsort(-scores, kind="mergesort")
+    tp = tp[:, order]
+    dt_ig = dt_ig[:, order]
     aps = np.zeros((T,))
+    recs = np.zeros((T,))
     for t in range(T):
-        # monotone non-increasing precision envelope
-        pr = precision[t][::-1]
+        keep = ~dt_ig[t]
+        m = tp[t][keep]
+        if len(m) == 0:
+            continue  # no (non-ignored) detections: AP and recall stay 0
+        tps = np.cumsum(m)
+        fps = np.cumsum(~m)
+        recall = tps / n_gt
+        precision = tps / np.maximum(tps + fps, 1e-12)
+        recs[t] = recall[-1] if len(recall) else 0.0
+        pr = precision[::-1]
         pr = np.maximum.accumulate(pr)[::-1]
-        rc = recall[t]
-        # 101-point interpolation: precision at first recall >= r
-        idx = np.searchsorted(rc, RECALL_POINTS, side="left")
-        q = np.where(idx < len(pr), pr[np.minimum(idx, len(pr) - 1)], 0.0)
-        q = np.where(idx < len(pr), q, 0.0)
-        aps[t] = q.mean()
-    return aps
+        idx = np.searchsorted(recall, RECALL_POINTS, side="left")
+        q = np.where(idx < len(pr), pr[np.minimum(idx, max(len(pr) - 1, 0))], 0.0)
+        aps[t] = q.mean() if len(pr) else 0.0
+    return aps, recs
 
 
 def coco_map(
@@ -78,10 +161,14 @@ def coco_map(
     gts: List[Dict],
     iou_type: str = "bbox",
     max_dets: int = 100,
+    area_ranges: Optional[Sequence[str]] = ("all", "small", "medium", "large"),
 ) -> Dict[str, float]:
     """preds/gts: per-image dicts with 'labels' [N], 'scores' [N] (preds only),
-    and 'boxes' [N,4] xyxy (iou_type='bbox') or 'masks' [N,H,W] (iou_type='segm').
-    Returns {"map": mAP@[.5:.95], "map_50": mAP@.5, "map_75": mAP@.75}.
+    'boxes' [N,4] xyxy (iou_type='bbox') or 'masks' [N,H,W] (iou_type='segm'),
+    and optional gt 'iscrowd' [N] bool.
+
+    Returns {"map", "map_50", "map_75", "map_small", "map_medium",
+    "map_large", "mar_100"} (area buckets only for the ranges requested).
     """
     assert len(preds) == len(gts)
     key = "masks" if iou_type == "segm" else "boxes"
@@ -93,57 +180,79 @@ def coco_map(
         classes.update(np.asarray(g["labels"]).astype(int).tolist())
     for p in preds:
         classes.update(np.asarray(p["labels"]).astype(int).tolist())
+    area_ranges = list(area_ranges or ["all"])
+    if "all" not in area_ranges:
+        area_ranges = ["all"] + area_ranges
 
-    ap_all = []  # per class: [T]
+    # ap[range][class] = [T]; rec likewise
+    ap: Dict[str, List[np.ndarray]] = {r: [] for r in area_ranges}
+    rec: Dict[str, List[np.ndarray]] = {r: [] for r in area_ranges}
+
     for cls in sorted(classes):
-        cls_scores = []
-        cls_matched = []
-        n_gt = 0
+        per_range = {r: {"scores": [], "tp": [], "ig": [], "n_gt": 0}
+                     for r in area_ranges}
         for p, g in zip(preds, gts):
             gl = np.asarray(g["labels"]).astype(int)
             pl = np.asarray(p["labels"]).astype(int)
             g_sel = np.flatnonzero(gl == cls)
             p_sel = np.flatnonzero(pl == cls)
-            n_gt += len(g_sel)
-            if len(p_sel) == 0:
-                continue
+
             ps = np.asarray(p["scores"])[p_sel]
-            order = np.argsort(-ps, kind="stable")[:max_dets]
+            order = np.argsort(-ps, kind="mergesort")[:max_dets]
             p_sel = p_sel[order]
             ps = ps[order]
 
             p_items = np.asarray(p[key])[p_sel]
-            g_items = np.asarray(g[key])[g_sel] if len(g_sel) else np.zeros((0,) + np.asarray(p[key]).shape[1:])
-            ious = iou_fn(p_items, g_items)  # [D, G]
+            g_items = (np.asarray(g[key])[g_sel] if len(g_sel)
+                       else np.zeros((0,) + np.asarray(p[key]).shape[1:]))
+            crowd = (np.asarray(g.get("iscrowd"))[g_sel].astype(bool)
+                     if g.get("iscrowd") is not None and len(g_sel)
+                     else np.zeros(len(g_sel), bool))
+            g_areas = _areas(g_items, iou_type)
+            d_areas = _areas(p_items, iou_type)
 
-            D = len(p_sel)
-            m = np.zeros((T, D), bool)
-            for t, thr in enumerate(IOU_THRESHOLDS):
-                g_used = np.zeros(len(g_sel), bool)
-                for d in range(D):  # score order already
-                    if len(g_sel) == 0:
-                        break
-                    cand = ious[d] * (~g_used)
-                    j = int(np.argmax(cand))
-                    if cand[j] >= thr:
-                        g_used[j] = True
-                        m[t, d] = True
-            cls_scores.append(ps)
-            cls_matched.append(m)
+            for rname in area_ranges:
+                lo, hi = AREA_RANGES[rname]
+                g_ig = crowd | (g_areas < lo) | (g_areas > hi)
+                # COCOeval sorts GTs ignored-last
+                g_order = np.argsort(g_ig, kind="mergesort")
+                ious = iou_fn(p_items, g_items[g_order], crowd[g_order])
+                d_oor = (d_areas < lo) | (d_areas > hi)
+                tp_i, ig_i = _match_image(
+                    ious, g_ig[g_order], crowd[g_order], d_oor)
+                st = per_range[rname]
+                st["scores"].append(ps)
+                st["tp"].append(tp_i)
+                st["ig"].append(ig_i)
+                st["n_gt"] += int((~g_ig).sum())
 
-        scores = np.concatenate(cls_scores) if cls_scores else np.zeros((0,))
-        matched = np.concatenate(cls_matched, axis=1) if cls_matched else np.zeros((T, 0), bool)
-        ap_all.append(_ap_per_class(scores, matched, n_gt))
+        for rname in area_ranges:
+            st = per_range[rname]
+            scores = (np.concatenate(st["scores"]) if st["scores"]
+                      else np.zeros((0,)))
+            tp = (np.concatenate(st["tp"], axis=1) if st["tp"]
+                  else np.zeros((T, 0), bool))
+            ig = (np.concatenate(st["ig"], axis=1) if st["ig"]
+                  else np.zeros((T, 0), bool))
+            a, r = _ap_from_matches(scores, tp, ig, st["n_gt"])
+            ap[rname].append(a)
+            rec[rname].append(r)
 
-    if not ap_all:
-        return {"map": 0.0, "map_50": 0.0, "map_75": 0.0}
-    ap = np.stack(ap_all)  # [C, T]
-    with np.errstate(invalid="ignore"):
-        map_all = float(np.nanmean(ap))
-        map_50 = float(np.nanmean(ap[:, 0]))
-        map_75 = float(np.nanmean(ap[:, 5]))
-    return {
-        "map": 0.0 if np.isnan(map_all) else map_all,
-        "map_50": 0.0 if np.isnan(map_50) else map_50,
-        "map_75": 0.0 if np.isnan(map_75) else map_75,
+    def _mean(arr_list, t_slice=slice(None), empty=0.0):
+        if not arr_list:
+            return empty
+        arr = np.stack(arr_list)[:, t_slice]
+        valid = arr[~np.isnan(arr)]
+        return empty if valid.size == 0 else float(valid.mean())
+
+    out = {
+        "map": _mean(ap["all"]),
+        "map_50": _mean(ap["all"], slice(0, 1)),
+        "map_75": _mean(ap["all"], slice(5, 6)),
+        "mar_100": _mean(rec["all"]),
     }
+    for rname in area_ranges:
+        if rname != "all":
+            # COCOeval convention: -1 when the bucket has no ground truth
+            out[f"map_{rname}"] = _mean(ap[rname], empty=-1.0)
+    return out

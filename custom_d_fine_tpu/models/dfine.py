@@ -34,9 +34,15 @@ class DFINE(nn.Module):
     cfg: ModelConfig
     num_classes: int = 80
     msda_impl: str = "xla"
+    fast_topk: bool = False  # serving: approx_max_k query selection
     deploy: bool = False  # reparam-fused inference graph (deploy/reparam.py)
     stem_external: bool = False  # serving: input is the precomputed stem output
     dtype: Optional[Any] = None
+    # Per-stage compute-dtype overrides (fall back to `dtype`). Used by the
+    # serving builder to run individual stages in bf16 where it measures faster.
+    backbone_dtype: Optional[Any] = None
+    encoder_dtype: Optional[Any] = None
+    decoder_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, targets=None, train: bool = False):
@@ -45,7 +51,7 @@ class DFINE(nn.Module):
             arch=b.name, return_idx=b.return_idx, use_lab=b.use_lab,
             freeze_norm=b.freeze_norm, deploy=self.deploy,
             stem_external=self.stem_external,
-            dtype=self.dtype, name="backbone",
+            dtype=self.backbone_dtype or self.dtype, name="backbone",
         )(x, train=train)
         feats = HybridEncoder(
             in_channels=e.in_channels, feat_strides=e.feat_strides,
@@ -53,7 +59,8 @@ class DFINE(nn.Module):
             enc_act=e.enc_act, use_encoder_idx=e.use_encoder_idx,
             num_encoder_layers=e.num_encoder_layers, pe_temperature=e.pe_temperature,
             expansion=e.expansion, depth_mult=e.depth_mult, act=e.act,
-            deploy=self.deploy, dtype=self.dtype, name="encoder",
+            deploy=self.deploy, dtype=self.encoder_dtype or self.dtype,
+            name="encoder",
         )(feats, train=train)
         return DFINETransformer(
             num_classes=self.num_classes, hidden_dim=d.hidden_dim,
@@ -67,7 +74,8 @@ class DFINE(nn.Module):
             cross_attn_method=d.cross_attn_method,
             query_select_method=d.query_select_method,
             enable_mask_head=d.enable_mask_head, mask_dim=d.mask_dim,
-            msda_impl=self.msda_impl, dtype=self.dtype, name="decoder",
+            msda_impl=self.msda_impl, fast_topk=self.fast_topk,
+            dtype=self.decoder_dtype or self.dtype, name="decoder",
         )(feats, targets=targets, train=train)
 
 

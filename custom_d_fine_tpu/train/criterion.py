@@ -88,7 +88,11 @@ def loss_labels_vfl(outputs, targets, match: Match, num_boxes, num_classes: int,
 
     pred_score = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
     weight = alpha * (pred_score ** gamma) * (1.0 - target) + target_score
-    loss = (_bce_logits(logits, target_score) * weight).sum() / num_boxes
+    elem = _bce_logits(logits, target_score) * weight
+    iv = targets.get("image_valid")
+    if iv is not None:  # mask padded tail-batch images (all-query negatives)
+        elem = elem * iv.astype(jnp.float32)[:, None, None]
+    loss = elem.sum() / num_boxes
     return {"loss_vfl": loss}
 
 
@@ -111,6 +115,9 @@ def loss_labels_focal(outputs, targets, match: Match, num_boxes, num_classes: in
     if alpha >= 0:
         alpha_t = alpha * target + (1 - alpha) * (1 - target)
         loss = alpha_t * loss
+    iv = targets.get("image_valid")
+    if iv is not None:  # mask padded tail-batch images (all-query negatives)
+        loss = loss * iv.astype(jnp.float32)[:, None, None]
     return {"loss_focal": loss.sum() / num_boxes}
 
 
@@ -186,6 +193,15 @@ def loss_local(
         )
         mask4 = jnp.broadcast_to(mask[..., None], (B, Q, 4))
         wt4 = jnp.broadcast_to(wt[..., None], (B, Q, 4))
+        iv = targets.get("image_valid")
+        if iv is not None:  # padded tail-batch images are neither pos nor neg
+            imgb4 = jnp.broadcast_to(iv.astype(bool)[:, None, None], (B, Q, 4))
+            mask4 = mask4 & imgb4
+            neg4 = (~mask4) & imgb4
+            n_img = jnp.maximum(iv.astype(jnp.float32).sum(), 1.0)
+        else:
+            neg4 = ~mask4
+            n_img = B
 
         logp_s = jax.nn.log_softmax(pred / T, axis=-1)
         p_t = jax.nn.softmax(teacher / T, axis=-1)
@@ -194,17 +210,17 @@ def loss_local(
         loss_elem = wt4 * (T ** 2) * kl
 
         if not is_dn or num_pos_neg is None:
-            batch_scale = 8.0 / B
+            batch_scale = 8.0 / n_img
             num_pos = jnp.sqrt(mask4.sum() * batch_scale)
-            num_neg = jnp.sqrt((~mask4).sum() * batch_scale)
+            num_neg = jnp.sqrt(neg4.sum() * batch_scale)
             if not is_dn:
                 num_pos_neg = (num_pos, num_neg)
         num_pos, num_neg = num_pos_neg
 
         pos_cnt = jnp.maximum(mask4.sum(), 1)
-        neg_cnt = jnp.maximum((~mask4).sum(), 1)
+        neg_cnt = jnp.maximum(neg4.sum(), 1)
         l_pos = jnp.where(mask4, loss_elem, 0.0).sum() / pos_cnt
-        l_neg = jnp.where(mask4, 0.0, loss_elem).sum() / neg_cnt
+        l_neg = jnp.where(neg4, loss_elem, 0.0).sum() / neg_cnt
         losses["loss_ddf"] = (l_pos * num_pos + l_neg * num_neg) / (num_pos + num_neg + 1e-12)
 
     return losses, fgl_targets, num_pos_neg

@@ -65,7 +65,9 @@ def make_train_step(
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        targets = {k: batch[k] for k in ("labels", "boxes", "valid") if k in batch}
+        targets = {k: batch[k]
+                   for k in ("labels", "boxes", "valid", "image_valid")
+                   if k in batch}
         if "masks" in batch:
             targets["masks"] = batch["masks"]
 

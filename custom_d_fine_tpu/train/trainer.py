@@ -126,6 +126,8 @@ class Trainer:
                 for k, v in t["mosaic_augs"].items()
             }),
             multiscale_prob=t["augs"].get("multiscale_prob", 0.0),
+            multiscale_deltas=tuple(
+                t["augs"].get("multiscale_deltas", (-64, -32, 32, 64))),
             seed=t.get("seed", 42),
             label_to_name=self.label_to_name,
             # GT masks at the mask head's output resolution: finest level
@@ -136,11 +138,10 @@ class Trainer:
         )
         if self.ignore_background_epochs:
             self.loader.datasets["train"].ignore_background = True
-        if t["augs"].get("multiscale_prob", 0.0) > 0:
-            logger.warning(
-                "multiscale_prob > 0: each distinct batch size (+-32/64px) "
-                "compiles its own train-step graph (one-time ~minutes each on TPU)"
-            )
+        self._multiscale_deltas = (
+            tuple(t["augs"].get("multiscale_deltas", (-64, -32, 32, 64)))
+            if t["augs"].get("multiscale_prob", 0.0) > 0 else ()
+        )
 
         # ---- model ----
         from ..ops.deform_attn import resolve_impl
@@ -230,6 +231,43 @@ class Trainer:
         self.epochs_no_improve = 0
         self.ckpt = ocp.StandardCheckpointer() if ocp is not None else None
 
+        if self._multiscale_deltas:
+            self._precompile_multiscale()
+
+    def _precompile_multiscale(self):
+        """AOT-compile the train step for every multiscale canvas at startup.
+
+        Each +-{32,64}px batch size is a distinct XLA program; compiling them
+        here (jit .lower().compile(), which also populates the persistent
+        compilation cache) removes the multi-minute mid-epoch stalls the
+        reference's torch.compile-free loop never had to pay
+        (dataset.py:667-694 resizes ad hoc). The in-loop call still re-traces
+        once per shape, but hits the compile cache in <1s.
+        """
+        import time as _time
+
+        h, w = self.img_size
+        bsz = -(-self.loader.batch_size // self.mesh.size) * self.mesh.size
+        G = self.loader.datasets["train"].max_gt
+        for d in self._multiscale_deltas:
+            t0 = _time.time()
+            batch = {
+                "images": jnp.zeros((bsz, h + d, w + d, 3), jnp.float32),
+                "labels": jnp.zeros((bsz, G), jnp.int32),
+                "boxes": jnp.zeros((bsz, G, 4), jnp.float32),
+                "valid": jnp.zeros((bsz, G), bool),
+                "image_valid": jnp.ones((bsz,), bool),
+            }
+            if self.enable_mask_head:
+                md = self.loader.datasets["train"].mask_downsample
+                batch["masks"] = jnp.zeros(
+                    (bsz, G, (h + d) // md, (w + d) // md), jnp.uint8)
+            batch = {k: jax.device_put(v, self.data_spec) for k, v in batch.items()}
+            self.train_step.lower(
+                self.state, batch, jax.random.PRNGKey(0)).compile()
+            logger.info(f"multiscale precompile {h + d}x{w + d}: "
+                        f"{_time.time() - t0:.1f}s")
+
     # ------------------------------------------------------------ pretrained
 
     def _load_pretrained(self, variables, path: str):
@@ -252,7 +290,32 @@ class Trainer:
         arrays = {k: batch[k] for k in ("images", "labels", "boxes", "valid")}
         if "masks" in batch:
             arrays["masks"] = batch["masks"]
+        arrays = self._pad_to_mesh(arrays)
         return {k: jax.device_put(v, self.data_spec) for k, v in arrays.items()}
+
+    def _pad_to_mesh(self, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Pad a tail batch up to a mesh-size multiple instead of dropping it.
+
+        Padded rows repeat the last real image (keeps BatchNorm batch stats
+        in-distribution) with valid=False GT and image_valid=False, so the
+        criterion's all-query negative terms and normalizers are untouched
+        (criterion.py image_valid masking). The reference's DDP sampler pads
+        by replication too (torch DistributedSampler semantics).
+        """
+        bsz = arrays["images"].shape[0]
+        pad = -bsz % self.mesh.size
+        image_valid = np.ones((bsz + pad,), bool)
+        if pad:
+            image_valid[bsz:] = False
+            out = {}
+            for k, v in arrays.items():
+                fill = np.repeat(v[-1:], pad, axis=0)
+                if k in ("labels", "boxes", "valid", "masks"):
+                    fill = np.zeros_like(fill)
+                out[k] = np.concatenate([v, fill], axis=0)
+            arrays = out
+        arrays["image_valid"] = image_valid
+        return arrays
 
     def train(self):
         t0 = time.time()
@@ -272,8 +335,6 @@ class Trainer:
             n_batches = len(it)
             t_epoch = time.time()
             for i, batch in enumerate(it):
-                if batch["images"].shape[0] % self.mesh.size != 0:
-                    continue  # keep the global batch divisible over the mesh
                 rng, step_rng = jax.random.split(rng)
                 gpu_batch = self._shard_batch(batch)
                 # normalize on device (images stay uint8 on the wire)

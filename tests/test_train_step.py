@@ -78,3 +78,62 @@ def test_empty_batch_no_nans(setup):
     step_fn = jax.jit(make_train_step(model, criterion, tx))
     _, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"])), metrics
+
+
+def test_padded_tail_batch_losses_invariant(setup):
+    """Criterion totals must be identical with mesh-padding rows appended
+    (image_valid=False, GT valid=False) — the tail-batch pad path
+    (trainer._pad_to_mesh + criterion image_valid masking)."""
+    cfg, model, criterion, tx, state = setup
+    rng = np.random.default_rng(3)
+    batch = _batch(cfg, rng)
+    targets = {k: batch[k] for k in ("labels", "boxes", "valid")}
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    outputs = model.apply(variables, batch["images"], targets=targets,
+                          train=True, rngs={"dn": jax.random.PRNGKey(7)},
+                          mutable=["batch_stats"])[0]
+    base = criterion(outputs, targets)
+
+    B = batch["images"].shape[0]
+    pad = 2
+
+    def pad_arr(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+            return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x
+
+    outputs_p = jax.tree_util.tree_map(pad_arr, outputs)
+    targets_p = {k: pad_arr(v) for k, v in targets.items()}
+    targets_p["valid"] = targets_p["valid"].at[B:].set(False)
+    targets_p["image_valid"] = jnp.arange(B + pad) < B
+    padded = criterion(outputs_p, targets_p)
+
+    assert set(base) == set(padded)
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(padded[k]), np.asarray(base[k]), rtol=2e-5, atol=1e-6,
+            err_msg=k)
+
+
+def test_pad_to_mesh_shapes():
+    from custom_d_fine_tpu.train.trainer import Trainer
+
+    class Stub:
+        mesh = type("M", (), {"size": 8})()
+    arrays = {
+        "images": np.random.default_rng(0).integers(0, 255, (6, 32, 32, 3)).astype(np.uint8),
+        "labels": np.zeros((6, 5), np.int32),
+        "boxes": np.zeros((6, 5, 4), np.float32),
+        "valid": np.ones((6, 5), bool),
+    }
+    out = Trainer._pad_to_mesh(Stub(), dict(arrays))
+    assert out["images"].shape[0] == 8
+    assert out["image_valid"].tolist() == [True] * 6 + [False] * 2
+    assert not out["valid"][6:].any()
+    # padded images repeat the last real image (BatchNorm stays in-distribution)
+    np.testing.assert_array_equal(out["images"][6], arrays["images"][5])
+    # already-divisible batches are passed through with all-valid mask
+    arrays8 = {k: np.repeat(v, 2, axis=0)[:8] for k, v in arrays.items()}
+    out8 = Trainer._pad_to_mesh(Stub(), dict(arrays8))
+    assert out8["images"].shape[0] == 8 and out8["image_valid"].all()

@@ -118,3 +118,37 @@ def test_resume_from_last_checkpoint(dataset_root, tmp_path):
     # optimizer state restored: second moments non-zero somewhere
     leaves = jax.tree_util.tree_leaves(t2.state.opt_state)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves if hasattr(l, "dtype"))
+
+
+def test_trainer_multiscale_epoch(dataset_root, tmp_path):
+    """multiscale_prob=1.0: every train batch is resized +-32px; the trainer
+    AOT-precompiles each canvas at startup (round-1 VERDICT item 7) and the
+    epoch runs without shape errors. Also exercises a batch_size that is NOT
+    a mesh multiple (6 on 8 devices): the tail-pad path must train on all
+    samples instead of dropping the batch."""
+    from custom_d_fine_tpu.train.trainer import Trainer
+    from custom_d_fine_tpu.utils.config import load_config
+
+    cfg = load_config(overrides=[
+        f"train.data_path={dataset_root}",
+        f"train.path_to_save={tmp_path}/ms_run",
+        "train.epochs=1",
+        "train.batch_size=6",
+        "train.num_workers=2",
+        "train.img_size=[160,160]",
+        "train.max_gt=10",
+        "train.label_to_name={0: obj}",
+        "train.mosaic_augs.mosaic_prob=0.0",
+        "train.mosaic_augs.no_mosaic_epochs=0",
+        "train.augs.multiscale_prob=1.0",
+        "train.augs.multiscale_deltas=[-32,32]",
+        "train.dtype=float32",
+        "model_name=n",
+        "exp_name=mstest",
+    ])
+    mc = tiny_config()
+    trainer = Trainer(cfg, model_cfg_override=mc)
+    assert trainer._multiscale_deltas == (-32, 32)
+    history = trainer.train()
+    assert len(history) == 1
+    assert np.isfinite(history[0]["train_loss"])

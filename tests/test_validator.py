@@ -159,3 +159,102 @@ def test_confusion_matrix_structure():
     # misclassification: gt class 0 matched to pred class 1
     assert v.conf_matrix[0, 1] == 1
     assert v.conf_matrix.shape == (3, 3)
+
+
+# --------- COCOeval-semantics fixtures (round-1 VERDICT item 8) -------------
+# Hand-computed cases encoding the documented pycocotools behaviors that a
+# naive AP implementation gets wrong: crowd absorption, area-range ignores,
+# per-image-per-category maxDets truncation (pycocotools' evaluateImg
+# `dt=dt[0:maxDet]`), and the non-ignored-first matching preference.
+
+
+def _img(boxes, labels, scores=None, iscrowd=None):
+    d = {"boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+         "labels": np.asarray(labels, np.int32)}
+    if scores is not None:
+        d["scores"] = np.asarray(scores, np.float32)
+    if iscrowd is not None:
+        d["iscrowd"] = np.asarray(iscrowd, bool)
+    return d
+
+
+def test_coco_map_crowd_absorbs_duplicates():
+    """Detections matched to a crowd GT are ignored (not FP), and the crowd
+    GT itself does not count toward n_gt (COCOeval gtIg)."""
+    gt = [_img([[0, 0, 50, 50], [100, 100, 150, 150]], [0, 0],
+               iscrowd=[False, True])]
+    # two high-scored dets on the crowd region OUTRANK the real TP: as crowd
+    # matches they are ignored, so AP stays 1.0
+    preds = [_img([[100, 100, 150, 150], [102, 102, 150, 150], [0, 0, 50, 50]],
+                  [0, 0, 0], scores=[0.9, 0.8, 0.7])]
+    m = coco_map(preds, gt)
+    assert m["map_50"] == pytest.approx(1.0)  # crowd dets are NOT false positives
+
+    # without the crowd flag only one of them can match; the duplicate is a
+    # higher-ranked FP and drags AP below 1
+    gt2 = [_img([[0, 0, 50, 50], [100, 100, 150, 150]], [0, 0])]
+    m2 = coco_map(preds, gt2)
+    assert m2["map_50"] < 1.0
+
+
+def test_coco_map_area_range_ignores():
+    """Out-of-range GTs are ignored; unmatched out-of-range detections are
+    ignored rather than FP (COCOeval dtIg |= unmatched & outside aRng)."""
+    # one small (20x20=400 < 32^2) and one large (200x200) object
+    gt = [_img([[0, 0, 20, 20], [100, 100, 300, 300]], [0, 0])]
+    preds = [_img([[0, 0, 20, 20], [100, 100, 300, 300]], [0, 0],
+                  scores=[0.9, 0.8])]
+    m = coco_map(preds, gt)
+    assert m["map_small"] == pytest.approx(1.0)
+    assert m["map_large"] == pytest.approx(1.0)
+    assert m["map_medium"] == -1.0  # no medium GT -> COCOeval's -1
+
+    # a stray TOP-scored small FP must not damage map_large (it is
+    # area-ignored there), but it is a leading FP in the small bucket
+    preds2 = [_img([[0, 0, 20, 20], [100, 100, 300, 300], [400, 400, 415, 415]],
+                   [0, 0, 0], scores=[0.9, 0.8, 0.95])]
+    m2 = coco_map(preds2, gt)
+    assert m2["map_large"] == pytest.approx(1.0)
+    assert m2["map_small"] < 1.0
+
+
+def test_coco_map_maxdets_per_image_per_category():
+    """pycocotools truncates to maxDets per (image, category) AFTER score
+    sorting; a low-scored TP beyond the cut contributes nothing."""
+    gt = [_img([[0, 0, 50, 50], [100, 0, 150, 50]], [0, 0])]
+    # 3 dets: two junk high scores, the real ones ranked 3rd/4th
+    preds = [_img([[200, 200, 250, 250], [300, 300, 350, 350],
+                   [0, 0, 50, 50], [100, 0, 150, 50]],
+                  [0, 0, 0, 0], scores=[0.95, 0.9, 0.8, 0.7])]
+    full = coco_map(preds, gt, max_dets=100)
+    cut = coco_map(preds, gt, max_dets=2)
+    assert full["map_50"] > 0.4   # TPs exist at rank 3/4
+    assert cut["map_50"] == 0.0   # truncation removed them
+
+    # per-category: 2 dets of another class must not consume class-0 slots
+    gt_mix = [_img([[0, 0, 50, 50]], [0])]
+    preds_mix = [_img([[200, 200, 250, 250], [300, 300, 350, 350],
+                       [0, 0, 50, 50]],
+                      [1, 1, 0], scores=[0.95, 0.9, 0.8])]
+    m_mix = coco_map(preds_mix, gt_mix, max_dets=2)
+    # class-0 TP is rank 1 within its own category -> survives the cut
+    assert m_mix["map_50"] > 0.4
+
+
+def test_coco_map_prefers_non_ignored_gt():
+    """A detection overlapping both a crowd GT (higher IoU) and a real GT
+    (IoU above threshold) must match the REAL one (COCOeval iterates
+    non-ignored GTs first and stops before ignored ones once matched)."""
+    gt = [_img([[0, 0, 100, 100], [0, 0, 130, 130]], [0, 0],
+               iscrowd=[False, True])]
+    # detection closer to the crowd box but still >0.5 IoU with the real GT
+    preds = [_img([[0, 0, 120, 120]], [0], scores=[0.9])]
+    m = coco_map(preds, gt, area_ranges=("all",))
+    assert m["map_50"] == pytest.approx(1.0)  # real GT matched -> TP
+
+
+def test_coco_map_mar_100():
+    gt = [_img([[0, 0, 50, 50], [100, 100, 200, 200]], [0, 0])]
+    preds = [_img([[0, 0, 50, 50]], [0], scores=[0.9])]
+    m = coco_map(preds, gt)
+    assert m["mar_100"] == pytest.approx(0.5)
