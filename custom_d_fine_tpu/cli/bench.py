@@ -4,7 +4,8 @@ set with per-image latency + F1, render predictions, tabulate + CSV.
 Parity target: reference src/dl/bench.py:55-267 (per-backend latency with
 warmup and device sync, F1 via Validator, visualizations, CSV + table). The
 reference's backend matrix (Torch/ONNX/OpenVINO/TRT/INT8) collapses to XLA
-precision variants on TPU: float32 and bfloat16 of the same compiled graph.
+precision variants on TPU: float32, bfloat16, and int8 (per-channel weight
+quantization with in-graph dequant, deploy/quantize.py) of the same graph.
 Usage: python -m custom_d_fine_tpu.cli.bench [--config cfg] [k=v ...]
 """
 
@@ -89,7 +90,7 @@ def main(argv=None):
     weights = args.weights or str(Path(t["path_to_save"]) / "model")
 
     rows = []
-    for variant in ("float32", "bfloat16"):
+    for variant in ("float32", "bfloat16", "int8"):
         logger.info(f"Benchmarking {variant} ...")
         model = JaxModel(
             weights, cfg["model_name"], len(label_to_name),

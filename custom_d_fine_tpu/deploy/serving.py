@@ -28,14 +28,35 @@ def make_serving_forward(
     num_top: int = 300,
     use_fused_stem: Optional[bool] = None,
     fast_topk: bool = True,
+    quantize_int8: bool = False,
 ):
     """(deploy model, variables) -> fn(images_u8 [B,H,W,3]) -> detections.
 
     `model`/`variables` should already be deploy-converted
     (deploy/reparam.convert_to_deploy). Returns an un-jitted callable; wrap
     in jax.jit at the call site (so callers control donation/sharding).
+
+    quantize_int8=True stores all conv/dense kernels as per-channel symmetric
+    int8 (deploy/quantize.py) and dequantizes inside the jitted graph: weight
+    HBM traffic drops 4x (the reference's NNCF INT8 path, ov_int8.py:18-163).
+    The fused stem keeps f32 folded weights either way (they are tiny and the
+    fold happens on host before quantization).
     """
     H, W = img_size
+    if quantize_int8:
+        from .quantize import dequantize_params, quantize_params
+
+        qparams, _ = quantize_params(variables["params"])
+        batch_stats = variables["batch_stats"]
+
+        def _apply(m, x):
+            p = dequantize_params(qparams)
+            return m.apply({"params": p, "batch_stats": batch_stats}, x,
+                           train=False)
+    else:
+
+        def _apply(m, x):
+            return m.apply(variables, x, train=False)
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
@@ -57,7 +78,7 @@ def make_serving_forward(
         def forward(images_u8):
             x = images_u8.astype(jnp.float32)  # raw 0..255; /255 is folded
             stem_out = fused_stem(x, fw, fast=True)
-            out = stem_model.apply(variables, stem_out, train=False)
+            out = _apply(stem_model, stem_out)
             return topk_detections(out["pred_logits"], out["pred_boxes"],
                                    num_top, (H, W),
                                    pred_masks=out.get("pred_masks"),
@@ -66,7 +87,7 @@ def make_serving_forward(
 
         def forward(images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
-            out = model.apply(variables, x, train=False)
+            out = _apply(model, x)
             return topk_detections(out["pred_logits"], out["pred_boxes"],
                                    num_top, (H, W),
                                    pred_masks=out.get("pred_masks"),

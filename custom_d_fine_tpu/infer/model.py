@@ -45,8 +45,8 @@ class JaxModel:
         enable_nms: bool = False,
         nms_iou_thresh: float = 0.6,
         max_batch_size: int = 1,
-        dtype: str = "float32",
-        msda_impl: str = "auto",   # pallas kernel on TPU, XLA gather elsewhere
+        dtype: str = "float32",    # float32 | bfloat16 | int8 (weights)
+        msda_impl: str = "serve",  # inference-fast Pallas kernel on TPU
         deploy: bool = True,       # reparam-fuse VGGBlocks (deploy/reparam.py)
         smoke_test: bool = True,
     ):
@@ -87,18 +87,14 @@ class JaxModel:
             self.model, variables = convert_to_deploy(self.model, variables)
         self.variables = variables
 
-        H, W = self.img_size
+        # canonical serving graph: fused Pallas stem on TPU + approx top-K
+        # (+ optional int8 weight quantization with in-graph dequant)
+        from ..deploy.serving import make_serving_forward
 
-        @jax.jit
-        def _infer(images_u8):
-            x = images_u8.astype(jnp.float32) / 255.0
-            out = self.model.apply(self.variables, x, train=False)
-            return topk_detections(
-                out["pred_logits"], out["pred_boxes"], 300, (H, W),
-                pred_masks=out.get("pred_masks"),
-            )
-
-        self._infer = _infer
+        self._infer = jax.jit(make_serving_forward(
+            self.model, self.variables, self.img_size,
+            quantize_int8=(dtype == "int8"),
+        ))
 
         if smoke_test:
             self._test_pred()

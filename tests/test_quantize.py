@@ -84,3 +84,45 @@ def test_accuracy_control_reverts_until_budget():
     # 'a' reverted (raw kernel), 'b' still quantized
     assert "kernel" in qparams["a"] and "kernel@q" not in qparams["a"]
     assert "kernel@q" in qparams["b"]
+
+
+def test_int8_serving_graph_detections_close():
+    """The serving builder's quantize_int8 path (JaxModel dtype='int8',
+    reference ov_int8.py equivalent) must produce detections close to f32."""
+    from custom_d_fine_tpu.deploy.serving import make_serving_forward
+
+    cfg = tiny_config()
+    model, variables = build_model(cfg, num_classes=4, img_size=(160, 160),
+                                   train_batch=1)
+    f32 = jax.jit(make_serving_forward(model, variables, (160, 160),
+                                       use_fused_stem=False))
+    i8 = jax.jit(make_serving_forward(model, variables, (160, 160),
+                                      use_fused_stem=False, quantize_int8=True))
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 160, 160, 3)), jnp.uint8)
+    d32, d8 = f32(x), i8(x)
+    s32 = np.sort(np.asarray(d32["scores"][0]))[-20:]
+    s8 = np.sort(np.asarray(d8["scores"][0]))[-20:]
+    assert np.abs(s32 - s8).max() < 0.02
+    assert np.isfinite(np.asarray(d8["boxes"])).all()
+
+
+def test_jaxmodel_runtime_smoke(tmp_path):
+    """JaxModel end-to-end on a BGR image (now routed through the canonical
+    serving builder): constructor smoke test + detection dict contract."""
+    from custom_d_fine_tpu.infer.model import JaxModel
+
+    # 320^2: the smallest canvas where 'n' has >= num_queries anchors
+    # (the torch reference decoder has the same topk constraint)
+    m = JaxModel(None, "n", num_classes=4, img_size=(320, 320),
+                 conf_thresh=0.0, deploy=True, smoke_test=True)
+    img = np.random.default_rng(0).integers(0, 255, (200, 300, 3)).astype(np.uint8)
+    dets = m(img)
+    assert len(dets) == 1
+    d = dets[0]
+    assert {"boxes", "labels", "scores"} <= set(d)
+    assert np.isfinite(d["boxes"]).all()
+    # boxes are in original-image coordinates
+    if len(d["boxes"]):
+        assert d["boxes"][:, [0, 2]].max() <= 300.5
+        assert d["boxes"][:, [1, 3]].max() <= 200.5
