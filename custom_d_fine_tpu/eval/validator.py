@@ -259,7 +259,9 @@ class Validator:
         path_to_save.mkdir(parents=True, exist_ok=True)
 
         if self.conf_matrix is not None:
-            labels = [str(c) for c in self.class_to_idx] + ["background"]
+            # class NAMES on the axes (reference validator.py renders names)
+            labels = [self.label_to_name.get(c, str(c))
+                      for c in self.class_to_idx] + ["background"]
             plt.figure(figsize=(10, 8))
             plt.imshow(self.conf_matrix, interpolation="nearest", cmap=plt.cm.Blues)
             plt.title("Confusion Matrix")

@@ -186,11 +186,12 @@ class MaskDecoder(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
         n_groups = 32
         base = None
         for i, f in enumerate(feats):
-            t = conv2d(self.out_ch, 1, use_bias=False, dtype=self.dtype, name=f"lateral_{i}")(f)
+            t = conv2d(self.out_ch, 1, use_bias=False, dtype=self.dtype,
+                       prefer_dot=not train, name=f"lateral_{i}")(f)
             t = nn.GroupNorm(num_groups=n_groups, dtype=self.dtype, name=f"gn_{i}")(t)
             if i == 0:
                 base = t
@@ -272,7 +273,7 @@ class DFINETransformer(nn.Module):
             if f.shape[-1] == C:
                 proj_feats.append(f)
             else:
-                y = conv2d(C, 1, use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_conv")(f)
+                y = conv2d(C, 1, use_bias=False, dtype=self.dtype, prefer_dot=not train, name=f"input_proj_{i}_conv")(f)
                 y = BatchNorm(dtype=self.dtype, name=f"input_proj_{i}_norm")(y, train=train)
                 proj_feats.append(y)
         for i in range(len(feats), self.num_levels):
@@ -433,7 +434,7 @@ class DFINETransformer(nn.Module):
         # ---- mask head (reference :925-1005) ----
         pred_masks = aux_masks = dn_pred_masks = dn_aux_masks = None
         if self.enable_mask_head:
-            mask_feat = MaskDecoder(self.mask_dim, dtype=self.dtype, name="mask_decoder")(feats)
+            mask_feat = MaskDecoder(self.mask_dim, dtype=self.dtype, name="mask_decoder")(feats, train=train)
             mask_head = MLP(C, self.mask_dim, 3, dtype=self.dtype, name="mask_head")
 
             def mask_logits(h):

@@ -101,7 +101,7 @@ class HybridEncoder(nn.Module):
         # per-level 1x1 conv + BN projection (reference :345-356)
         proj = []
         for i, f in enumerate(feats):
-            y = conv2d(hd, 1, use_bias=False, dtype=self.dtype, name=f"input_proj_{i}_conv")(f)
+            y = conv2d(hd, 1, use_bias=False, dtype=self.dtype, prefer_dot=not train, name=f"input_proj_{i}_conv")(f)
             y = BatchNorm(dtype=self.dtype, name=f"input_proj_{i}_norm")(y, train=train)
             proj.append(y)
 

@@ -78,13 +78,21 @@ class PointwiseConv(nn.Module):
 
 
 def conv2d(out_chs, kernel_size, strides=(1, 1), padding="VALID", groups=1,
-           use_bias=False, dtype=None, name="conv"):
-    """nn.Conv factory that routes dense 1x1/s1 convs to PointwiseConv."""
+           use_bias=False, dtype=None, name="conv", prefer_dot=True):
+    """nn.Conv factory that routes dense 1x1/s1 convs to PointwiseConv.
+
+    prefer_dot is False in TRAINING graphs: the dot's backward measured
+    marginally slower than XLA's tuned conv backward at batch 8 (28.5 vs
+    28.8 img/s, bench_train), while in batch-1 inference the dot is ~7x
+    faster than the conv emitter ("EmitAllBatchInSublanes"). Param
+    shape/name are identical either way, so checkpoints are unaffected.
+    """
     k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
     pad_free = padding == "VALID" or (
         isinstance(padding, (list, tuple))
         and all(tuple(p) == (0, 0) for p in padding))
-    if k == (1, 1) and tuple(strides) == (1, 1) and groups == 1 and pad_free:
+    if (prefer_dot and k == (1, 1) and tuple(strides) == (1, 1)
+            and groups == 1 and pad_free):
         return PointwiseConv(out_chs, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Conv(out_chs, k, strides=strides, padding=padding,
                    feature_group_count=groups, use_bias=use_bias, dtype=dtype,
@@ -156,7 +164,7 @@ class ConvBNAct(nn.Module):
         x = conv2d(
             self.out_chs, self.kernel_size, strides=(self.stride, self.stride),
             padding=pad, groups=self.groups, use_bias=False, dtype=self.dtype,
-            name="conv",
+            name="conv", prefer_dot=not train,
         )(x)
         x = BatchNorm(frozen=self.frozen_norm, dtype=self.dtype, name="norm")(x, train=train)
         if self.use_act:
@@ -226,6 +234,7 @@ class ConvNorm(nn.Module):
             self.out_chs, self.kernel_size, strides=(self.stride, self.stride),
             padding=[(p, p), (p, p)], groups=self.groups,
             use_bias=self.use_bias, dtype=self.dtype, name="conv",
+            prefer_dot=not train,
         )(x)
         x = BatchNorm(frozen=self.frozen_norm, dtype=self.dtype, name="norm")(x, train=train)
         return get_activation(self.act)(x)

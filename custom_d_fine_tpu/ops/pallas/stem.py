@@ -1,38 +1,42 @@
-"""Fused Pallas TPU kernel for the HGNetv2 StemBlock (serving graph).
+"""Fused Pallas TPU kernel for the FULL HGNetv2 StemBlock (serving graph).
 
 Parity target: reference src/d_fine/arch/hgnetv2.py:115-166 (StemBlock) —
 stem1 3x3/s2 -> asym-pad -> {stem2a 2x2 -> pad -> stem2b 2x2 | maxpool 2x2/s1}
 -> concat -> stem3 3x3/s2 -> stem4 1x1, each conv followed by BN+ReLU(+LAB).
 
 Why a kernel: the stem works on few-channel large-spatial tensors (3->M->M/2
-->M->2M channels at 640^2/320^2), which XLA lays out badly on TPU — profiling
-shows ~0.5 ms of the D-FINE-m serving graph spent on stem convs plus pure
-layout copies. The Pallas kernel fuses normalize+stem1+stem2a/2b+pool+concat
-with every intermediate in VMEM; stem3/stem4 (ordinary 2M-channel convs XLA
-handles well) run as folded-weight XLA convs on the kernel's output.
+->M->2M->M->O channels at 640^2/320^2/160^2), which XLA lays out badly on TPU
+— profiling showed ~0.5 ms of the D-FINE-m serving graph spent on stem convs
+plus pure layout copies, and with only stem1/2 fused, another ~0.25 ms on the
+XLA stem3/4 convs + the spatial re-tiling copy of the 20 MB concat map. This
+kernel fuses normalize + the ENTIRE stem; the only HBM traffic is the raw
+image in and the 4.9 MB stride-4 output out.
 
 Mosaic constraints that shaped the design:
 - value-level strided slices, strided ref loads and wide gathers are all
-  unavailable at these shapes, so the stride-2 stem1 de-interleaves its input
-  ON THE MXU: one matmul with a constant one-hot matrix D maps the raw
-  interleaved lanes (2x+dx)*3+ci to (dx,ci)-grouped columns, and three
-  one-hot row-select matmuls R_dy pick the stride-2 row phases. Inputs are
-  raw 0..255 pixel values — exact in bf16, and each one-hot product has a
-  single nonzero term, so the de-interleave is bit-exact; /255 is folded
-  into the stem1 weights.
+  unavailable at these shapes, so every stride-2 selection runs ON THE MXU
+  with constant one-hot matmuls: D de-interleaves the raw interleaved input
+  lanes, R picks stride-2 stem1 row phases, and E compacts even output
+  lanes; stem3's stride-2 rows fall out of a stride-1 formulation (row rolls)
+  followed by a sublane split-and-slice.
+  One-hot products have a single nonzero term each: with integer-valued
+  inputs (raw pixels, bf16-exact) they are bit-exact; on f32 activations the
+  exact path uses Precision.HIGHEST (bf16x6) which is exact for 0/1 factors.
 - vectors only reshape (merge/split trailing dims) when the minor dim is a
   128-multiple, so conv results are computed at merge width
   MW = roundup(W/2, 128) and stored at lane width LW = MW + 128; lanes
   beyond the real width are re-zeroed after each activation.
-- concat refuses operands with mismatched vector offsets, so the maxpool
-  shifts use pltpu.roll instead of offset slices.
+- concat refuses operands with mismatched vector offsets, so the maxpool and
+  the stem3 +-1-column taps use pltpu.roll (wrap-around lands in zeroed or
+  never-selected lanes).
 - each conv is a tap-wise MXU contraction dot(w_tap [K, Cout], A_tap [K, N]);
   BN is folded into the weights on the host (eval-mode BN is affine).
 - the asymmetric (0,1) pads are explicit zero columns / last-block row masks,
   matching torch F.pad semantics exactly.
 
-Grid: (B, H/32); each step emits 16 rows of the stride-2 concat map. The
-input row window (40 rows incl. halo) is DMA'd per step.
+Grid: (B, H/32); each step emits 8 rows of the stride-4 stem output. The
+input row window (40 rows incl. halo) is DMA'd per step; the one-row top halo
+needed by stem3 is recomputed from the same window (R covers 19 stem1 rows).
 """
 
 from __future__ import annotations
@@ -56,12 +60,12 @@ def _round_up(x: int, m: int) -> int:
 def fold_stem_weights(stem_params: Dict, stem_stats: Dict) -> Dict[str, jnp.ndarray]:
     """Fold eval-mode BN into each stem conv; collect LAB scalars.
 
-    Returns arrays shaped for the kernel / XLA tail:
-      w1 [27, M]   b1 [M]      (stem1 3x3, HWIO reshape, tap order (dy,dx,ci))
+    Returns arrays shaped for the kernel:
+      w1 [27, M]      b1 [M]   (stem1 3x3, HWIO reshape, tap order (dy,dx,ci))
       w2a [4, M, M2]  b2a [M2] (stem2a 2x2, per-tap [Cin, Cout])
       w2b [4, M2, M]  b2b [M]
-      w3 [3, 3, 2M, M] b3 [M]  (stem3 3x3 kept HWIO for the XLA conv)
-      w4 [1, 1, M, O]  b4 [O]
+      w3 [3, 2M, 3M]  b3 [M]   (stem3 3x3: per-dy [Cin, dx-major Cout])
+      w4 [M, O]       b4 [O]   (stem4 1x1)
       lab [5, 2]               ((scale, bias) per conv; (1, 0) when no LAB)
     """
     out = {}
@@ -77,11 +81,16 @@ def fold_stem_weights(stem_params: Dict, stem_stats: Dict) -> Dict[str, jnp.ndar
         b = np.asarray(bn_p["bias"], np.float32) - np.asarray(bn_s["mean"], np.float32) * t
         kh, kw, ci, co = w.shape
         tag = name[4:]
-        if name in ("stem3", "stem4"):
-            out[f"w{tag}"] = jnp.asarray(w)  # HWIO for lax.conv
-        elif kh == 3:
-            out[f"w{tag}"] = jnp.asarray(w.reshape(9 * ci, co))
-        else:
+        if name == "stem4":
+            out["w4"] = jnp.asarray(w.reshape(ci, co))
+        elif name == "stem1":
+            out["w1"] = jnp.asarray(w.reshape(9 * ci, co))
+        elif name == "stem3":
+            # [dy, Cin, dx-major Cout]: one kernel dot per dy emits all
+            # three dx partials as sublane row groups
+            out["w3"] = jnp.asarray(
+                w.transpose(0, 2, 1, 3).reshape(3, ci, 3 * co))
+        else:  # 2x2 taps: [kh*kw, Cin, Cout]
             out[f"w{tag}"] = jnp.asarray(w.reshape(kh * kw, ci, co))
         out[f"b{tag}"] = jnp.asarray(b)
         if "lab" in p:
@@ -91,9 +100,10 @@ def fold_stem_weights(stem_params: Dict, stem_stats: Dict) -> Dict[str, jnp.ndar
     return out
 
 
-def _stem_kernel(img_ref, d_ref, r_ref, w1_ref, b1_ref, w2a_ref, b2a_ref,
-                 w2b_ref, b2b_ref, lab_ref, out_ref, scratch, sem, *, W: int,
-                 M: int, M2: int, n_blocks: int, LIN: int,
+def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
+                 w2a_ref, b2a_ref, w2b_ref, b2b_ref, w3_ref, b3_ref,
+                 w4_ref, b4_ref, lab_ref, out_ref, scratch, sem, *, W: int,
+                 M: int, M2: int, O: int, n_blocks: int, LIN: int,
                  fast: bool = False):
     i = pl.program_id(1)
     b = pl.program_id(0)
@@ -101,8 +111,11 @@ def _stem_kernel(img_ref, d_ref, r_ref, w1_ref, b1_ref, w2a_ref, b2a_ref,
     # same error class as XLA's own bf16 conv passes (~4e-3 rel)
     HI = None if fast else jax.lax.Precision.HIGHEST
     W2 = W // 2
+    W4 = W // 4
     MW = _round_up(W2, 128)       # conv merge width (384 @ W=640)
     LW = MW + 128                 # stored lane width, fits kx+MW windows
+    MW4 = _round_up(W4, 128)
+    CH = 2 * M                    # concat channels
 
     # ---- DMA the 40-row input window (rows 32i..32i+40 of the padded image)
     cp = pltpu.make_async_copy(img_ref.at[b, pl.ds(i * 32, 40), :], scratch,
@@ -124,14 +137,16 @@ def _stem_kernel(img_ref, d_ref, r_ref, w1_ref, b1_ref, w2a_ref, b2a_ref,
     # padded col 2x+dx, channel ci — one bf16 matmul with the constant one-hot
     # matrix D. Inputs are raw 0..255 values (exact in bf16; each output has
     # exactly one nonzero term), so the product is exact; 1/255 is folded into
-    # the stem1 weights. Row phases (input row 2j+dy) are then picked with
+    # the stem1 weights. Row phases (input row 2j'+dy) are then picked with
     # three one-hot row-select matmuls R_dy — also exact.
     G = jax.lax.dot_general(scratch[...].astype(jnp.bfloat16), d_ref[...],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [40, 9*MW]
     Gb = G.astype(jnp.bfloat16)
 
-    # ---- stem1 3x3/s2: out rows s = 16i+j, j in [0,18).
+    # ---- stem1 3x3/s2: 19 out rows j' = 0..18 <-> global rows s = 16i+j'-1
+    # (one top-halo row j'=0 so stem3 gets its previous-row input; for i==0 it
+    # convolves pure pad and is masked to zero at the concat below).
     taps = []
     for dy in range(3):
         g_dy = jax.lax.dot_general(r_ref[dy], Gb, (((1,), (0,)), ((), ())),
@@ -140,39 +155,39 @@ def _stem_kernel(img_ref, d_ref, r_ref, w1_ref, b1_ref, w2a_ref, b2a_ref,
             for ci in range(3):
                 g = dx * 3 + ci
                 taps.append(jax.lax.slice(g_dy, (0, g * MW),
-                                          (18, (g + 1) * MW)))
-    A = jnp.stack(taps).reshape(27, 18 * MW)
+                                          (19, (g + 1) * MW)))
+    A = jnp.stack(taps).reshape(27, 19 * MW)
     out1 = jax.lax.dot_general(w1_ref[...], A, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32, precision=HI)
-    out1 = act(out1.reshape(M, 18, MW), b1_ref[...], 0, W2)  # b1 [M,1,1]
+    out1 = act(out1.reshape(M, 19, MW), b1_ref[...], 0, W2)  # b1 [M,1,1]
     # last block: stem1 rows s >= H/2 are the asym bottom pad -> zero
-    rows18 = jax.lax.broadcasted_iota(jnp.int32, (1, 18, 1), 1)
-    out1 = jnp.where((i == n_blocks - 1) & (rows18 >= 16), 0.0, out1)
+    rows19 = jax.lax.broadcasted_iota(jnp.int32, (1, 19, 1), 1)
+    out1 = jnp.where((i == n_blocks - 1) & (rows19 >= 17), 0.0, out1)
     # out1 cols: real 0..W2-1, col W2 == 0 (asym right pad), rest zero
 
-    # ---- stem2a 2x2 valid on padded out1: rows j in [0,17)
-    out2a = jnp.zeros((M2, 17 * MW), jnp.float32)
+    # ---- stem2a 2x2 valid on padded out1: 18 rows
+    out2a = jnp.zeros((M2, 18 * MW), jnp.float32)
     for t in range(4):
         ky, kx = t // 2, t % 2
-        A2 = jax.lax.slice(out1, (0, ky, kx), (M, ky + 17, kx + MW))
-        out2a += jax.lax.dot_general(w2a_ref[t], A2.reshape(M, 17 * MW),
+        A2 = jax.lax.slice(out1, (0, ky, kx), (M, ky + 18, kx + MW))
+        out2a += jax.lax.dot_general(w2a_ref[t], A2.reshape(M, 18 * MW),
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
                                      precision=HI)
-    out2a = act(out2a.reshape(M2, 17, MW), b2a_ref[...], 1, W2)
-    rows17 = jax.lax.broadcasted_iota(jnp.int32, (1, 17, 1), 1)
-    out2a = jnp.where((i == n_blocks - 1) & (rows17 >= 16), 0.0, out2a)
+    out2a = act(out2a.reshape(M2, 18, MW), b2a_ref[...], 1, W2)
+    rows18 = jax.lax.broadcasted_iota(jnp.int32, (1, 18, 1), 1)
+    out2a = jnp.where((i == n_blocks - 1) & (rows18 >= 17), 0.0, out2a)
 
-    # ---- stem2b 2x2 valid: rows j in [0,16)
-    out2b = jnp.zeros((M, 16 * MW), jnp.float32)
+    # ---- stem2b 2x2 valid: 17 rows
+    out2b = jnp.zeros((M, 17 * MW), jnp.float32)
     for t in range(4):
         ky, kx = t // 2, t % 2
-        A2 = jax.lax.slice(out2a, (0, ky, kx), (M2, ky + 16, kx + MW))
-        out2b += jax.lax.dot_general(w2b_ref[t], A2.reshape(M2, 16 * MW),
+        A2 = jax.lax.slice(out2a, (0, ky, kx), (M2, ky + 17, kx + MW))
+        out2b += jax.lax.dot_general(w2b_ref[t], A2.reshape(M2, 17 * MW),
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
                                      precision=HI)
-    out2b = act(out2b.reshape(M, 16, MW), b2b_ref[...], 2, W2)
+    out2b = act(out2b.reshape(M, 17, MW), b2b_ref[...], 2, W2)
 
     # ---- maxpool 2x2/s1 on padded out1 (post-ReLU; zero pad = ceil_mode).
     # Shifts are realized with pltpu.roll (layout-preserving) rather than
@@ -180,21 +195,77 @@ def _stem_kernel(img_ref, d_ref, r_ref, w1_ref, b1_ref, w2a_ref, b2a_ref,
     # offsets, and offset-1 slices would poison the concat below.
     r_c = pltpu.roll(out1, LW - 1, 2)      # col+1 neighbor (shift must be >=0)
     m0 = jnp.maximum(out1, r_c)
-    m1 = pltpu.roll(m0, 18 - 1, 1)         # row+1 neighbor
-    pool = jax.lax.slice(jnp.maximum(m0, m1), (0, 0, 0), (M, 16, LW))
+    m1 = pltpu.roll(m0, 19 - 1, 1)         # row+1 neighbor
+    pool = jax.lax.slice(jnp.maximum(m0, m1), (0, 0, 0), (M, 17, LW))
     # roll wraps lanes: lane W2-1 sees lane W2 (the zero pad col) -> correct;
-    # row 15 sees row 16 (real or zero-masked pad row) -> correct.
+    # row 16 sees row 17 (real or zero-masked pad row) -> correct.
 
-    # ---- concat [pool, stem2b] -> NHWC block [16, W2, 2M]
+    # ---- concat [pool, stem2b]: 17 rows j'' = 0..16 <-> global 16i + j'' - 1
     cat = jnp.concatenate(
-        [pool, jax.lax.slice(out2b, (0, 0, 0), (M, 16, LW))], axis=0)
-    out_ref[0] = jnp.transpose(jax.lax.slice(cat, (0, 0, 0), (2 * M, 16, W2)),
+        [pool, jax.lax.slice(out2b, (0, 0, 0), (M, 17, LW))], axis=0)
+    # top halo row is stem3's zero padding when this is the first block
+    rows17 = jax.lax.broadcasted_iota(jnp.int32, (1, 17, 1), 1)
+    cat = jnp.where((i == 0) & (rows17 == 0), 0.0, cat)
+    # re-zero pad lanes: the maxpool roll wrapped out1 col 0 into lane LW-1,
+    # which the stem3 dx=0 roll below would wrap back into output col 0
+    cat = jnp.where(lanes >= W2, 0.0, cat)
+
+    # ---- stem3 as a STRIDE-1 conv (17 rows) built from row/col rolls — no
+    # transposes, no row-phase matmuls. Out row q of the strided conv is the
+    # stride-1 result centered at cat row 2q+1; odd rows are kept below with
+    # a split-and-slice (sublane strided selection is not available, but
+    # splitting the sublane dim [16]->[8,2] and slicing index 0 is). Column
+    # taps live on EVEN lanes (lane 2xc = output col xc); odd/pad lanes carry
+    # never-selected garbage that the final E compaction drops.
+    cat_up = pltpu.roll(cat, 1, 1)        # row j holds cat row j-1
+    cat_dn = pltpu.roll(cat, 17 - 1, 1)   # row j holds cat row j+1
+    # wrap rows (0 of cat_up, 16 of cat_dn) are garbage but only centers
+    # c in 1..15 are ever kept, and those never read a wrapped row.
+    # Column taps are DEFERRED: accumulate per-dx partial sums at stride-1
+    # lanes, then apply the dx shift inside the one-hot compaction matmul
+    # E_dx[2xc-1+dx, xc] — no column rolls at all, and everything downstream
+    # runs at the compacted width MW4.
+    # one dot per dy with dx-major output rows [3M] (3x better MXU row use
+    # than 9 separate M-row dots); per-dx partials are sublane slices
+    s_all = jnp.zeros((3 * M, 17 * LW), jnp.float32)
+    for dy, base in enumerate((cat_up, cat, cat_dn)):
+        s_all += jax.lax.dot_general(
+            w3_ref[dy], base.reshape(CH, 17 * LW), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI)
+    s_dx = [jax.lax.slice(s_all, (dx * M, 0), ((dx + 1) * M, 17 * LW))
+            for dx in range(3)]
+
+    def compact(x2d, e):
+        """x [rows, LW] @ one-hot E [LW, MW4]; bit-exact in the exact path
+        (bf16x6 with 0/1 factors), bf16-rounded in fast mode."""
+        if fast:
+            return jax.lax.dot_general(
+                x2d.astype(jnp.bfloat16), e.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            x2d, e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    out3 = jnp.zeros((M * 17, MW4), jnp.float32)
+    for dx in range(3):
+        out3 += compact(s_dx[dx].reshape(M * 17, LW), e_ref[dx])
+    y3 = jax.nn.relu(out3.reshape(M, 17, MW4) + b3_ref[...])
+    y3 = lab_ref[3, 0] * y3 + lab_ref[3, 1]
+
+    # ---- stem4 1x1 (on all 17 stride-1 rows; the extra rows are cheap)
+    y4 = jax.lax.dot_general(w4_ref[...], y3.reshape(M, 17 * MW4),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32, precision=HI)
+    y4 = jax.nn.relu(y4.reshape(O, 17, MW4) + b4_ref[...])
+    y4 = lab_ref[4, 0] * y4 + lab_ref[4, 1]
+
+    # ---- keep odd rows (stride-2 centers 2q+1): rows 1..16 -> [8, 2] pairs,
+    # slice index 0 (sublane strided selection is unavailable; split+slice is)
+    y4o = jax.lax.slice(y4, (0, 1, 0), (O, 17, MW4)).reshape(O, 8, 2, MW4)
+    y4o = jax.lax.slice(y4o, (0, 0, 0, 0), (O, 8, 1, MW4)).reshape(O, 8, MW4)
+    out_ref[0] = jnp.transpose(jax.lax.slice(y4o, (0, 0, 0), (O, 8, W4)),
                                (1, 2, 0))
-
-
-def _affine_act(y, bias, lab_row):
-    y = jax.nn.relu(y + bias)
-    return lab_row[0] * y + lab_row[1]
 
 
 def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
@@ -209,13 +280,18 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
     assert C == 3 and H % 32 == 0 and W % 4 == 0, (B, H, W, C)
     M = fw["b1"].shape[0]
     M2 = fw["b2a"].shape[0]
+    O = fw["b4"].shape[0]
     n_blocks = H // 32
     W2 = W // 2
+    W4 = W // 4
     MW = _round_up(W2, 128)
+    LW = MW + 128
+    MW4 = _round_up(W4, 128)
     LIN = _round_up((W + 3) * 3, 128)
 
-    # padded raw image, lanes = (col, channel) interleaved
-    xp = jnp.pad(x, ((0, 0), (1, 7), (1, 2), (0, 0))).reshape(B, H + 8, (W + 3) * 3)
+    # padded raw image, lanes = (col, channel) interleaved; 3 top pad rows
+    # (1 for stem1's own pad + 2 so the window reaches the stem3 halo row)
+    xp = jnp.pad(x, ((0, 0), (3, 7), (1, 2), (0, 0))).reshape(B, H + 10, (W + 3) * 3)
     xp = jnp.pad(xp, ((0, 0), (0, 0), (0, LIN - (W + 3) * 3)))
 
     # one-hot de-interleave matrix: lane (2x+dx)*3+ci -> group (dx,ci), col x
@@ -227,38 +303,41 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
                 if f < LIN and xcol < MW:
                     D[f, (dx * 3 + ci) * MW + xcol] = 1.0
     D = jnp.asarray(D, jnp.bfloat16)
-    # one-hot row selectors: scratch row 2j+dy -> out row j
-    R = np.zeros((3, 18, 40), np.float32)
+    # one-hot row selectors: scratch row 2j'+dy -> out1 row j'
+    R = np.zeros((3, 19, 40), np.float32)
     for dy in range(3):
-        for j in range(18):
-            R[dy, j, 2 * j + dy] = 1.0
+        for j in range(19):
+            if 2 * j + dy < 40:
+                R[dy, j, 2 * j + dy] = 1.0
     R = jnp.asarray(R, jnp.bfloat16)
+    # per-dx shifted compaction: lane 2xc-1+dx -> col xc (stem3 column taps)
+    E = np.zeros((3, LW, MW4), np.float32)
+    for dx in range(3):
+        for xc in range(W4):
+            lane = 2 * xc - 1 + dx
+            if 0 <= lane < LW:
+                E[dx, lane, xc] = 1.0
+    E = jnp.asarray(E)
+
     fw = dict(fw)
     fw["w1"] = fw["w1"] / 255.0  # folded normalize
 
-    kern = functools.partial(_stem_kernel, W=W, M=M, M2=M2, n_blocks=n_blocks,
-                             LIN=LIN, fast=fast)
-    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
-    cat = pl.pallas_call(
+    kern = functools.partial(_stem_kernel, W=W, M=M, M2=M2, O=O,
+                             n_blocks=n_blocks, LIN=LIN, fast=fast)
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
+    out = pl.pallas_call(
         kern,
         grid=(B, n_blocks),
         in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] + wspecs
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
-        out_specs=pl.BlockSpec((1, 16, W2, 2 * M), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, W4, O), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H // 2, W2, 2 * M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H // 4, W4, O), jnp.float32),
         scratch_shapes=[pltpu.VMEM((40, LIN), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(xp, D, R, fw["w1"], fw["b1"].reshape(-1, 1, 1), fw["w2a"],
+    )(xp, D, R, E, fw["w1"], fw["b1"].reshape(-1, 1, 1), fw["w2a"],
       fw["b2a"].reshape(-1, 1, 1), fw["w2b"], fw["b2b"].reshape(-1, 1, 1),
-      fw["lab"])
-
-    # stem3 (3x3/s2/p1) + stem4 (1x1) as XLA convs on the folded weights
-    dn = ("NHWC", "HWIO", "NHWC")
-    y = jax.lax.conv_general_dilated(cat, fw["w3"], (2, 2), ((1, 1), (1, 1)),
-                                     dimension_numbers=dn)
-    y = _affine_act(y, fw["b3"], fw["lab"][3])
-    y = jax.lax.conv_general_dilated(y, fw["w4"], (1, 1), "VALID",
-                                     dimension_numbers=dn)
-    return _affine_act(y, fw["b4"], fw["lab"][4])
+      fw["w3"], fw["b3"].reshape(-1, 1, 1), fw["w4"],
+      fw["b4"].reshape(-1, 1, 1), fw["lab"])
+    return out
