@@ -80,10 +80,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
     from ..data.loader import read_split_csv
     from ..infer.model import JaxModel
-    from ..utils.config import load_config
+    from ..utils.config import load_config, resolve_experiment_dir
 
     cfg = load_config(args.config, args.overrides)
     t = cfg["train"]
+    t["path_to_save"] = resolve_experiment_dir(t["path_to_save"])
     label_to_name = {int(k): v for k, v in t["label_to_name"].items()}
     ds_root = Path(t["data_path"])
     names = read_split_csv(ds_root / f"{args.split}.csv")

@@ -46,12 +46,13 @@ def main(argv=None):
     from ..data.loader import read_split_csv
     from ..data.yolo import norm_xywh_to_abs_xyxy, parse_yolo_label_file
     from ..infer.model import JaxModel
-    from ..utils.config import load_config
+    from ..utils.config import load_config, resolve_experiment_dir
     from ..utils.logging import logger
     from ..utils.vis import vis_one_box
 
     cfg = load_config(args.config, args.overrides)
     t = cfg["train"]
+    t["path_to_save"] = resolve_experiment_dir(t["path_to_save"])
     label_to_name = {int(k): v for k, v in t["label_to_name"].items()}
     ds_root = Path(t["data_path"])
     out_root = Path(t["root"]) / "output" / "label_errors"

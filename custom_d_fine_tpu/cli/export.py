@@ -25,11 +25,12 @@ def main(argv=None):
     from ..deploy.export import export_and_verify
     from ..infer.model import JaxModel
     from ..models.dfine import build_model
-    from ..utils.config import load_config
+    from ..utils.config import load_config, resolve_experiment_dir
     from ..utils.logging import logger
 
     cfg = load_config(args.config, args.overrides)
     t = cfg["train"]
+    t["path_to_save"] = resolve_experiment_dir(t["path_to_save"])
     num_classes = len(t["label_to_name"])
     img_size = tuple(t["img_size"])
     task = cfg.get("task", "detect")

@@ -105,10 +105,11 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
     from ..infer.model import JaxModel
-    from ..utils.config import load_config
+    from ..utils.config import load_config, resolve_experiment_dir
 
     cfg = load_config(args.config, args.overrides)
     t = cfg["train"]
+    t["path_to_save"] = resolve_experiment_dir(t["path_to_save"])
     label_to_name = {int(k): v for k, v in t["label_to_name"].items()}
     weights = args.weights or str(Path(t["path_to_save"]) / "model")
     model = JaxModel(

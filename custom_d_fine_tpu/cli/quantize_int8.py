@@ -35,11 +35,12 @@ def main(argv=None):
     from ..eval.validator import Validator
     from ..infer.model import JaxModel
     from ..ops.postprocess import topk_detections
-    from ..utils.config import load_config
+    from ..utils.config import load_config, resolve_experiment_dir
     from ..utils.logging import logger
 
     cfg = load_config(args.config, args.overrides)
     t = cfg["train"]
+    t["path_to_save"] = resolve_experiment_dir(t["path_to_save"])
     label_to_name = {int(k): v for k, v in t["label_to_name"].items()}
     weights = args.weights or str(Path(t["path_to_save"]) / "model")
     max_drop = cfg.get("export", {}).get("ov_int8_max_drop", 0.02)

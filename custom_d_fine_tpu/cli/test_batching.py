@@ -27,11 +27,12 @@ def main(argv=None):
     from ..configs.registry import get_model_config
     from ..models.dfine import build_model
     from ..ops.postprocess import topk_detections
-    from ..utils.config import load_config
+    from ..utils.config import load_config, resolve_experiment_dir
     from ..utils.logging import logger
 
     cfg = load_config(args.config, args.overrides)
     t = cfg["train"]
+    t["path_to_save"] = resolve_experiment_dir(t["path_to_save"])
     H, W = tuple(t["img_size"])
     num_classes = len(t["label_to_name"])
     mc = get_model_config(cfg["model_name"])

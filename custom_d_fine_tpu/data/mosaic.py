@@ -6,6 +6,14 @@ Sutherland-Hodgman polygon clipping) and the dataset mosaic assembly
 (src/dl/dataset.py:258-377): 4 images on a 2x canvas around a jittered
 center, per-tile rescale, then a random affine (rotate/scale/shear/translate)
 down to the target size with degenerate-box filtering.
+
+Provenance note: the geometry here (transform-matrix composition, tile
+coordinates, box_candidates thresholds, polygon clipping) is a deliberate
+structure-preserving reimplementation of the reference functions above —
+this math IS the augmentation-parity contract (training must converge to
+within 0.5 mAP of the reference), and the reference code is itself standard
+YOLOX-lineage geometry. The surrounding machinery (threaded RNG, mask path,
+static-shape padding) is new.
 """
 
 from __future__ import annotations

@@ -335,6 +335,10 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
         out_shape=jax.ShapeDtypeStruct((B, H // 4, W4, O), jnp.float32),
         scratch_shapes=[pltpu.VMEM((40, LIN), jnp.float32),
                         pltpu.SemaphoreType.DMA],
+        # the stride-1 stem3 intermediates exceed the default 16 MB scoped
+        # vmem at batch > 4 (the limit scales oddly with the batch grid dim);
+        # v5e has 128 MB VMEM — raise the cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, D, R, E, fw["w1"], fw["b1"].reshape(-1, 1, 1), fw["w2a"],
       fw["b2a"].reshape(-1, 1, 1), fw["w2b"], fw["b2b"].reshape(-1, 1, 1),

@@ -104,3 +104,23 @@ def load_config(path: Optional[str] = None, overrides: Optional[List[str]] = Non
     # second pass: overrides may reference interpolations and vice versa
     resolved = _resolve(resolved, resolved)
     return Config(resolved)
+
+
+def resolve_experiment_dir(path_to_save: str) -> str:
+    """Latest-experiment resolution (reference dl/utils.py:789-806).
+
+    Run dirs are named `exp_name_YYYY-MM-DD` via the `${now_dir}` interpolation,
+    so export/bench/infer invoked on a later day would point at a nonexistent
+    directory. If `path_to_save` doesn't exist, resolve to the most recently
+    modified sibling sharing the same experiment-name prefix.
+    """
+    p = Path(path_to_save)
+    if p.exists() or not p.parent.exists():
+        return str(p)
+    m = re.match(r"(.+)_\d{4}-\d{2}-\d{2}$", p.name)
+    prefix = (m.group(1) if m else p.name) + "_"
+    cands = sorted(
+        (d for d in p.parent.iterdir() if d.is_dir() and d.name.startswith(prefix)),
+        key=lambda d: d.stat().st_mtime,
+    )
+    return str(cands[-1]) if cands else str(p)

@@ -67,3 +67,27 @@ def test_infer_pad_box():
     assert _pad_box((10, 10, 30, 30), 5, 5, 100, 100) == (5, 5, 35, 35)
     # clipped at image border
     assert _pad_box((0, 0, 30, 30), 10, 10, 100, 100) == (0, 0, 40, 40)
+
+
+def test_resolve_experiment_dir(tmp_path):
+    """Latest-experiment resolution (reference dl/utils.py:789-806): a
+    nonexistent exp_YYYY-MM-DD path resolves to the newest sibling run."""
+    import os
+    import time
+
+    from custom_d_fine_tpu.utils.config import resolve_experiment_dir
+
+    base = tmp_path / "models"
+    base.mkdir()
+    old = base / "myexp_2026-08-01"
+    new = base / "myexp_2026-08-10"
+    old.mkdir()
+    time.sleep(0.01)
+    new.mkdir()
+    got = resolve_experiment_dir(str(base / "myexp_2026-08-17"))
+    assert got == str(new)
+    # existing dir passes through untouched
+    assert resolve_experiment_dir(str(old)) == str(old)
+    # no siblings: unchanged
+    assert resolve_experiment_dir(str(base / "other_2026-08-17")) == str(
+        base / "other_2026-08-17")
