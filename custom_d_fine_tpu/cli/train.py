@@ -23,7 +23,16 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
     trainer = Trainer(cfg)
-    history = trainer.train()
+
+    # reference train.py:668-677: an interrupt or crash mid-training still
+    # falls through to best-model evaluation of whatever was saved so far
+    history = []
+    try:
+        history = trainer.train()
+    except KeyboardInterrupt:
+        print("Interrupted by user — evaluating best checkpoint so far")
+    except Exception as e:
+        print(f"Training failed ({e!r}) — evaluating best checkpoint so far")
 
     # final: reload best weights, extended eval on val+test (reference
     # train.py:678-745)

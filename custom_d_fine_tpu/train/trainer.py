@@ -470,7 +470,12 @@ class Trainer:
                         self.path_to_save / "eval_preds" / f"{len(preds):03d}.jpg",
                         self.label_to_name,
                     )
-        return preds, gts
+        # multi-host slice: each process evaluated its dataset shard; gather
+        # the full set for metrics (reference all_gather_object,
+        # dist_utils.py:127-193). Identity on single-process runs.
+        from ..parallel.multihost import gather_objects
+
+        return gather_objects(preds), gather_objects(gts)
 
     # ------------------------------------------------------------ checkpoint
 
