@@ -39,3 +39,23 @@ def test_nms_respects_score_order_not_index_order():
     labels = jnp.asarray([0, 0])
     keep = np.asarray(classwise_nms_padded(boxes, scores, labels, 0.5))
     assert keep.tolist() == [False, True]
+
+
+def test_fast_topk_matches_exact():
+    """Two-stage TPU top-k (serving path) must return the exact top-k set:
+    each chunk keeps k candidates, so no global top-k element can be lost."""
+    import jax
+
+    from custom_d_fine_tpu.ops.postprocess import fast_topk
+
+    rng = np.random.default_rng(0)
+    for B, N, k in [(1, 24000, 300), (2, 8400, 300), (1, 1000, 300),
+                    (3, 512, 17)]:
+        x = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+        ve, ie = jax.lax.top_k(x, k)
+        vf, if_ = fast_topk(x, k)
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(ve), atol=0)
+        # indices may differ only on exact ties; values must be identical
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(if_), axis=1) == np.sort(np.asarray(ie), axis=1),
+            True)
