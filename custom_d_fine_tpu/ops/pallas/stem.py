@@ -34,9 +34,10 @@ Mosaic constraints that shaped the design:
 - the asymmetric (0,1) pads are explicit zero columns / last-block row masks,
   matching torch F.pad semantics exactly.
 
-Grid: (B, H/32); each step emits 8 rows of the stride-4 stem output. The
-input row window (40 rows incl. halo) is DMA'd per step; the one-row top halo
-needed by stem3 is recomputed from the same window (R covers 19 stem1 rows).
+Grid: (B, H/(2S)) with S = 32 when H % 64 == 0 else 16; each step emits S/2
+rows of the stride-4 stem output from a 2S+8-row input window DMA'd per step;
+the one-row top halo needed by stem3 is recomputed from the same window
+(R covers S+3 stem1 rows).
 """
 
 from __future__ import annotations
@@ -103,7 +104,7 @@ def fold_stem_weights(stem_params: Dict, stem_stats: Dict) -> Dict[str, jnp.ndar
 def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
                  w2a_ref, b2a_ref, w2b_ref, b2b_ref, w3_ref, b3_ref,
                  w4_ref, b4_ref, lab_ref, out_ref, scratch, sem, *, W: int,
-                 M: int, M2: int, O: int, n_blocks: int, LIN: int,
+                 M: int, M2: int, O: int, n_blocks: int, LIN: int, S: int,
                  fast: bool = False):
     i = pl.program_id(1)
     b = pl.program_id(0)
@@ -117,9 +118,9 @@ def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
     MW4 = _round_up(W4, 128)
     CH = 2 * M                    # concat channels
 
-    # ---- DMA the 40-row input window (rows 32i..32i+40 of the padded image)
-    cp = pltpu.make_async_copy(img_ref.at[b, pl.ds(i * 32, 40), :], scratch,
-                               sem)
+    # ---- DMA the input row window (2S+8 rows starting at padded row 2S*i)
+    cp = pltpu.make_async_copy(img_ref.at[b, pl.ds(i * 2 * S, 2 * S + 8), :],
+                               scratch, sem)
     cp.start()
     cp.wait()
 
@@ -141,10 +142,10 @@ def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
     # three one-hot row-select matmuls R_dy — also exact.
     G = jax.lax.dot_general(scratch[...].astype(jnp.bfloat16), d_ref[...],
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [40, 9*MW]
+                            preferred_element_type=jnp.float32)  # [2S+8, 9*MW]
     Gb = G.astype(jnp.bfloat16)
 
-    # ---- stem1 3x3/s2: 19 out rows j' = 0..18 <-> global rows s = 16i+j'-1
+    # ---- stem1 3x3/s2: S+3 out rows j' = 0..S+2 <-> global rows Si+j'-1
     # (one top-halo row j'=0 so stem3 gets its previous-row input; for i==0 it
     # convolves pure pad and is masked to zero at the concat below).
     taps = []
@@ -155,39 +156,39 @@ def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
             for ci in range(3):
                 g = dx * 3 + ci
                 taps.append(jax.lax.slice(g_dy, (0, g * MW),
-                                          (19, (g + 1) * MW)))
-    A = jnp.stack(taps).reshape(27, 19 * MW)
+                                          (S + 3, (g + 1) * MW)))
+    A = jnp.stack(taps).reshape(27, (S + 3) * MW)
     out1 = jax.lax.dot_general(w1_ref[...], A, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32, precision=HI)
-    out1 = act(out1.reshape(M, 19, MW), b1_ref[...], 0, W2)  # b1 [M,1,1]
+    out1 = act(out1.reshape(M, S + 3, MW), b1_ref[...], 0, W2)  # b1 [M,1,1]
     # last block: stem1 rows s >= H/2 are the asym bottom pad -> zero
-    rows19 = jax.lax.broadcasted_iota(jnp.int32, (1, 19, 1), 1)
-    out1 = jnp.where((i == n_blocks - 1) & (rows19 >= 17), 0.0, out1)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (1, S + 3, 1), 1)
+    out1 = jnp.where((i == n_blocks - 1) & (rows1 >= S + 1), 0.0, out1)
     # out1 cols: real 0..W2-1, col W2 == 0 (asym right pad), rest zero
 
-    # ---- stem2a 2x2 valid on padded out1: 18 rows
-    out2a = jnp.zeros((M2, 18 * MW), jnp.float32)
+    # ---- stem2a 2x2 valid on padded out1: S+2 rows
+    out2a = jnp.zeros((M2, (S + 2) * MW), jnp.float32)
     for t in range(4):
         ky, kx = t // 2, t % 2
-        A2 = jax.lax.slice(out1, (0, ky, kx), (M, ky + 18, kx + MW))
-        out2a += jax.lax.dot_general(w2a_ref[t], A2.reshape(M, 18 * MW),
+        A2 = jax.lax.slice(out1, (0, ky, kx), (M, ky + S + 2, kx + MW))
+        out2a += jax.lax.dot_general(w2a_ref[t], A2.reshape(M, (S + 2) * MW),
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
                                      precision=HI)
-    out2a = act(out2a.reshape(M2, 18, MW), b2a_ref[...], 1, W2)
-    rows18 = jax.lax.broadcasted_iota(jnp.int32, (1, 18, 1), 1)
-    out2a = jnp.where((i == n_blocks - 1) & (rows18 >= 17), 0.0, out2a)
+    out2a = act(out2a.reshape(M2, S + 2, MW), b2a_ref[...], 1, W2)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (1, S + 2, 1), 1)
+    out2a = jnp.where((i == n_blocks - 1) & (rows2 >= S + 1), 0.0, out2a)
 
-    # ---- stem2b 2x2 valid: 17 rows
-    out2b = jnp.zeros((M, 17 * MW), jnp.float32)
+    # ---- stem2b 2x2 valid: S+1 rows
+    out2b = jnp.zeros((M, (S + 1) * MW), jnp.float32)
     for t in range(4):
         ky, kx = t // 2, t % 2
-        A2 = jax.lax.slice(out2a, (0, ky, kx), (M2, ky + 17, kx + MW))
-        out2b += jax.lax.dot_general(w2b_ref[t], A2.reshape(M2, 17 * MW),
+        A2 = jax.lax.slice(out2a, (0, ky, kx), (M2, ky + S + 1, kx + MW))
+        out2b += jax.lax.dot_general(w2b_ref[t], A2.reshape(M2, (S + 1) * MW),
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
                                      precision=HI)
-    out2b = act(out2b.reshape(M, 17, MW), b2b_ref[...], 2, W2)
+    out2b = act(out2b.reshape(M, S + 1, MW), b2b_ref[...], 2, W2)
 
     # ---- maxpool 2x2/s1 on padded out1 (post-ReLU; zero pad = ceil_mode).
     # Shifts are realized with pltpu.roll (layout-preserving) rather than
@@ -195,17 +196,17 @@ def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
     # offsets, and offset-1 slices would poison the concat below.
     r_c = pltpu.roll(out1, LW - 1, 2)      # col+1 neighbor (shift must be >=0)
     m0 = jnp.maximum(out1, r_c)
-    m1 = pltpu.roll(m0, 19 - 1, 1)         # row+1 neighbor
-    pool = jax.lax.slice(jnp.maximum(m0, m1), (0, 0, 0), (M, 17, LW))
+    m1 = pltpu.roll(m0, S + 3 - 1, 1)      # row+1 neighbor
+    pool = jax.lax.slice(jnp.maximum(m0, m1), (0, 0, 0), (M, S + 1, LW))
     # roll wraps lanes: lane W2-1 sees lane W2 (the zero pad col) -> correct;
-    # row 16 sees row 17 (real or zero-masked pad row) -> correct.
+    # row S sees row S+1 (real or zero-masked pad row) -> correct.
 
-    # ---- concat [pool, stem2b]: 17 rows j'' = 0..16 <-> global 16i + j'' - 1
+    # ---- concat [pool, stem2b]: S+1 rows j'' = 0..S <-> global Si + j'' - 1
     cat = jnp.concatenate(
-        [pool, jax.lax.slice(out2b, (0, 0, 0), (M, 17, LW))], axis=0)
+        [pool, jax.lax.slice(out2b, (0, 0, 0), (M, S + 1, LW))], axis=0)
     # top halo row is stem3's zero padding when this is the first block
-    rows17 = jax.lax.broadcasted_iota(jnp.int32, (1, 17, 1), 1)
-    cat = jnp.where((i == 0) & (rows17 == 0), 0.0, cat)
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1, 1), 1)
+    cat = jnp.where((i == 0) & (rows3 == 0), 0.0, cat)
     # re-zero pad lanes: the maxpool roll wrapped out1 col 0 into lane LW-1,
     # which the stem3 dx=0 roll below would wrap back into output col 0
     cat = jnp.where(lanes >= W2, 0.0, cat)
@@ -218,7 +219,7 @@ def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
     # taps live on EVEN lanes (lane 2xc = output col xc); odd/pad lanes carry
     # never-selected garbage that the final E compaction drops.
     cat_up = pltpu.roll(cat, 1, 1)        # row j holds cat row j-1
-    cat_dn = pltpu.roll(cat, 17 - 1, 1)   # row j holds cat row j+1
+    cat_dn = pltpu.roll(cat, S + 1 - 1, 1)  # row j holds cat row j+1
     # wrap rows (0 of cat_up, 16 of cat_dn) are garbage but only centers
     # c in 1..15 are ever kept, and those never read a wrapped row.
     # Column taps are DEFERRED: accumulate per-dx partial sums at stride-1
@@ -227,12 +228,13 @@ def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
     # runs at the compacted width MW4.
     # one dot per dy with dx-major output rows [3M] (3x better MXU row use
     # than 9 separate M-row dots); per-dx partials are sublane slices
-    s_all = jnp.zeros((3 * M, 17 * LW), jnp.float32)
+    s_all = jnp.zeros((3 * M, (S + 1) * LW), jnp.float32)
     for dy, base in enumerate((cat_up, cat, cat_dn)):
         s_all += jax.lax.dot_general(
-            w3_ref[dy], base.reshape(CH, 17 * LW), (((0,), (0,)), ((), ())),
+            w3_ref[dy], base.reshape(CH, (S + 1) * LW),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HI)
-    s_dx = [jax.lax.slice(s_all, (dx * M, 0), ((dx + 1) * M, 17 * LW))
+    s_dx = [jax.lax.slice(s_all, (dx * M, 0), ((dx + 1) * M, (S + 1) * LW))
             for dx in range(3)]
 
     def compact(x2d, e):
@@ -247,24 +249,26 @@ def _stem_kernel(img_ref, d_ref, r_ref, e_ref, w1_ref, b1_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
-    out3 = jnp.zeros((M * 17, MW4), jnp.float32)
+    out3 = jnp.zeros((M * (S + 1), MW4), jnp.float32)
     for dx in range(3):
-        out3 += compact(s_dx[dx].reshape(M * 17, LW), e_ref[dx])
-    y3 = jax.nn.relu(out3.reshape(M, 17, MW4) + b3_ref[...])
+        out3 += compact(s_dx[dx].reshape(M * (S + 1), LW), e_ref[dx])
+    y3 = jax.nn.relu(out3.reshape(M, S + 1, MW4) + b3_ref[...])
     y3 = lab_ref[3, 0] * y3 + lab_ref[3, 1]
 
-    # ---- stem4 1x1 (on all 17 stride-1 rows; the extra rows are cheap)
-    y4 = jax.lax.dot_general(w4_ref[...], y3.reshape(M, 17 * MW4),
+    # ---- stem4 1x1 (on all S+1 stride-1 rows; the extra rows are cheap)
+    y4 = jax.lax.dot_general(w4_ref[...], y3.reshape(M, (S + 1) * MW4),
                              (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=HI)
-    y4 = jax.nn.relu(y4.reshape(O, 17, MW4) + b4_ref[...])
+    y4 = jax.nn.relu(y4.reshape(O, S + 1, MW4) + b4_ref[...])
     y4 = lab_ref[4, 0] * y4 + lab_ref[4, 1]
 
-    # ---- keep odd rows (stride-2 centers 2q+1): rows 1..16 -> [8, 2] pairs,
+    # ---- keep odd rows (stride-2 centers 2q+1): rows 1..S -> [S/2, 2] pairs,
     # slice index 0 (sublane strided selection is unavailable; split+slice is)
-    y4o = jax.lax.slice(y4, (0, 1, 0), (O, 17, MW4)).reshape(O, 8, 2, MW4)
-    y4o = jax.lax.slice(y4o, (0, 0, 0, 0), (O, 8, 1, MW4)).reshape(O, 8, MW4)
-    out_ref[0] = jnp.transpose(jax.lax.slice(y4o, (0, 0, 0), (O, 8, W4)),
+    y4o = jax.lax.slice(y4, (0, 1, 0), (O, S + 1, MW4)).reshape(
+        O, S // 2, 2, MW4)
+    y4o = jax.lax.slice(y4o, (0, 0, 0, 0), (O, S // 2, 1, MW4)).reshape(
+        O, S // 2, MW4)
+    out_ref[0] = jnp.transpose(jax.lax.slice(y4o, (0, 0, 0), (O, S // 2, W4)),
                                (1, 2, 0))
 
 
@@ -281,7 +285,10 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
     M = fw["b1"].shape[0]
     M2 = fw["b2a"].shape[0]
     O = fw["b4"].shape[0]
-    n_blocks = H // 32
+    # S = stem1-level rows per grid step (block height / 2). Bigger blocks
+    # amortize per-step overheads; 64-row blocks measured fastest at 640^2.
+    S = 32 if H % 64 == 0 else 16
+    n_blocks = H // (2 * S)
     W2 = W // 2
     W4 = W // 4
     MW = _round_up(W2, 128)
@@ -304,10 +311,10 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
                     D[f, (dx * 3 + ci) * MW + xcol] = 1.0
     D = jnp.asarray(D, jnp.bfloat16)
     # one-hot row selectors: scratch row 2j'+dy -> out1 row j'
-    R = np.zeros((3, 19, 40), np.float32)
+    R = np.zeros((3, S + 3, 2 * S + 8), np.float32)
     for dy in range(3):
-        for j in range(19):
-            if 2 * j + dy < 40:
+        for j in range(S + 3):
+            if 2 * j + dy < 2 * S + 8:
                 R[dy, j, 2 * j + dy] = 1.0
     R = jnp.asarray(R, jnp.bfloat16)
     # per-dx shifted compaction: lane 2xc-1+dx -> col xc (stem3 column taps)
@@ -323,17 +330,17 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
     fw["w1"] = fw["w1"] / 255.0  # folded normalize
 
     kern = functools.partial(_stem_kernel, W=W, M=M, M2=M2, O=O,
-                             n_blocks=n_blocks, LIN=LIN, fast=fast)
+                             n_blocks=n_blocks, LIN=LIN, S=S, fast=fast)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
     out = pl.pallas_call(
         kern,
         grid=(B, n_blocks),
         in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] + wspecs
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
-        out_specs=pl.BlockSpec((1, 8, W4, O), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, S // 2, W4, O), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H // 4, W4, O), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((40, LIN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * S + 8, LIN), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         # the stride-1 stem3 intermediates exceed the default 16 MB scoped
         # vmem at batch > 4 (the limit scales oddly with the batch grid dim);

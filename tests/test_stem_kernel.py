@@ -22,9 +22,10 @@ def _randomized_stats(v, key):
 
 
 @pytest.mark.parametrize("use_lab,M,O,hw", [
-    (False, 24, 32, (64, 96)),   # B2-style, non-square
-    (True, 16, 16, (96, 64)),    # B0-style with LAB
+    (False, 24, 32, (64, 96)),   # B2-style, non-square; S=32 single-block
+    (True, 16, 16, (96, 64)),    # B0-style with LAB; S=16 multi-block
     (False, 32, 48, (32, 32)),   # single row-block (first == last block)
+    (False, 24, 32, (128, 64)),  # S=32 MULTI-block (halo across 64-row steps)
 ])
 def test_fused_stem_matches_stemblock(use_lab, M, O, hw):
     stem = StemBlock(M, O, use_lab=use_lab)
