@@ -5,6 +5,12 @@ CONFIG ?=
 OVERRIDES ?=
 CFG_ARG := $(if $(CONFIG),--config $(CONFIG),)
 
+# reference `make main`: train -> export -> bench
+main:
+	$(MAKE) train
+	$(MAKE) export
+	$(MAKE) bench
+
 split:
 	python -m custom_d_fine_tpu.cli.split $(CFG_ARG) $(OVERRIDES)
 
@@ -35,4 +41,7 @@ test_batching:
 test:
 	python -m pytest tests/ -x -q
 
-.PHONY: split train export bench infer check_errors test_batching quantize_int8 demo test
+# reference alias (ov_int8 -> the TPU int8 path)
+ov_int8: quantize_int8
+
+.PHONY: main split train export bench infer check_errors test_batching quantize_int8 ov_int8 demo test

@@ -30,17 +30,13 @@ def export_inference_artifact(
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from ..ops.postprocess import topk_detections
+    from .serving import make_serving_forward
 
     H, W = img_size
-
-    def infer(images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        out = model.apply(variables, x, train=False)
-        return topk_detections(
-            out["pred_logits"], out["pred_boxes"], num_top, (H, W),
-            pred_masks=out.get("pred_masks"),
-        )
+    # canonical serving graph (fused Pallas stem on TPU, two-stage top-K);
+    # the artifact is platform-targeted, like the reference's per-backend
+    # ONNX/TRT/OV engines
+    infer = make_serving_forward(model, variables, (H, W), num_top=num_top)
 
     spec = jax.ShapeDtypeStruct((batch_size, H, W, 3), jnp.uint8)
     exported = jexport.export(jax.jit(infer))(spec)
