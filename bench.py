@@ -57,14 +57,19 @@ def main():
         det = infer(img)
     np.asarray(det["scores"])
 
-    # headline: pipelined steady-state latency per image
-    N = 400
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(N):
-        out = infer(img)
-    np.asarray(out["scores"])  # single stream: all prior calls completed
-    pipelined_ms = (time.perf_counter() - t0) * 1000 / N
+    # headline: pipelined steady-state latency per image — median of three
+    # 300-call windows (the tunnel's scheduling jitter moves single windows
+    # by ~5%; the median is the stable p50-style figure)
+    windows = []
+    for _ in range(3):
+        N = 300
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(N):
+            out = infer(img)
+        np.asarray(out["scores"])  # single stream: all prior calls completed
+        windows.append((time.perf_counter() - t0) * 1000 / N)
+    pipelined_ms = float(np.median(windows))
 
     # secondary: per-call latency including one host fetch round-trip
     ts = []
@@ -87,4 +92,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient tunnel/runtime hiccup: one retry
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench: transient failure, retrying once", file=sys.stderr)
+        time.sleep(10)
+        main()

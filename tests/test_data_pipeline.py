@@ -157,3 +157,18 @@ def test_box_candidates_filters_degenerate():
     box2 = np.array([[0, 0, 50, 50], [0, 0, 1, 100]], np.float32).T
     keep = box_candidates(box1, box2)
     assert keep.tolist() == [True, False]
+
+
+def test_multiscale_custom_deltas_and_mask_rethreshold(yolo_dataset):
+    """Configurable multiscale_deltas reach the collate, and GT masks are
+    resized + re-thresholded to the new canvas (reference dataset.py:667-694)."""
+    loader = Loader(
+        root_path=yolo_dataset, img_size=(160, 160), batch_size=8,
+        num_workers=1, max_gt=10, multiscale_prob=1.0,
+        multiscale_deltas=(32,), seed=0, task="segment",
+    )
+    b = next(iter(loader.epoch_iterator("train", epoch=0)))
+    assert b["images"].shape[1] == 192  # only +32 allowed
+    md = loader.datasets["train"].mask_downsample
+    assert b["masks"].shape[2] == 192 // md
+    assert set(np.unique(b["masks"])) <= {0, 1}
