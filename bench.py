@@ -22,6 +22,36 @@ import numpy as np
 BASELINE_P50_MS = 3.0
 
 
+def guard_fast_topk():
+    """On-device exactness check of the serving approx top-K.
+
+    The serving graph relies on lax.approx_max_k (TPU PartialReduce,
+    recall_target 0.99) being EXACT at its two shapes: decoder query selection
+    (N=8400, k=300) and final detection top-K (N=24000, k=300). That holds
+    because the partial reduce keeps >=k candidates per 1050/3000-wide chunk,
+    but it is a backend behavior the CPU suite can't see — so assert set
+    equality against lax.top_k here, on the real chip, once per bench run."""
+    import jax
+    import jax.numpy as jnp
+
+    from custom_d_fine_tpu.ops.postprocess import fast_topk
+
+    rng = np.random.default_rng(7)
+    for n in (8400, 24000):
+        x = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+        _, ia = jax.jit(fast_topk, static_argnums=1)(x, 300)
+        _, ie = jax.lax.top_k(x, 300)
+        ia, ie = np.asarray(ia), np.asarray(ie)
+        for b in range(x.shape[0]):
+            missed = set(ie[b]) - set(ia[b])
+            assert not missed, (
+                f"fast_topk dropped {len(missed)} of top-300 at N={n}: "
+                f"approx_max_k recall regressed on this backend")
+    import sys
+
+    print("fast_topk guard: exact at serving shapes", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -29,23 +59,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from custom_d_fine_tpu.configs import get_model_config
-    from custom_d_fine_tpu.models.dfine import build_model
-    from custom_d_fine_tpu.ops.postprocess import topk_detections
+    guard_fast_topk()
 
-    from custom_d_fine_tpu.ops.deform_attn import resolve_impl
+    from custom_d_fine_tpu.deploy.serving import build_serving
 
-    from custom_d_fine_tpu.deploy.reparam import convert_to_deploy
-
-    cfg = get_model_config("m")
-    model, variables = build_model(cfg, num_classes=80, img_size=(640, 640),
-                                   train_batch=1, msda_impl=resolve_impl("serve"))
-    # serving graph: VGGBlock branches reparam-fused (same as JaxModel default)
-    model, variables = convert_to_deploy(model, variables)
-
-    from custom_d_fine_tpu.deploy.serving import make_serving_forward
-
-    infer = jax.jit(make_serving_forward(model, variables, (640, 640)))
+    # canonical serving graph — the same builder __graft_entry__.entry(),
+    # JaxModel and the export artifact use
+    fn, _, _ = build_serving("m", num_classes=80, img_size=(640, 640))
+    infer = jax.jit(fn)
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 255, (1, 640, 640, 3)), jnp.uint8)

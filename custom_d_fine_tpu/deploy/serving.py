@@ -21,6 +21,32 @@ import jax.numpy as jnp
 from ..ops.postprocess import topk_detections
 
 
+def build_serving(
+    size: str = "m",
+    num_classes: int = 80,
+    img_size: Tuple[int, int] = (640, 640),
+    **serving_kw,
+):
+    """One-call flagship serving graph: registry config -> build -> deploy
+    reparam -> make_serving_forward. Shared by bench.py, __graft_entry__ and
+    tools so the compile gate, the perf gate and the export artifact all
+    exercise the SAME graph. Returns (forward_fn, model, variables); wrap
+    forward_fn in jax.jit at the call site."""
+    from ..configs import get_model_config
+    from ..models.dfine import build_model
+    from ..ops.deform_attn import resolve_impl
+    from .reparam import convert_to_deploy
+
+    cfg = get_model_config(size)
+    model, variables = build_model(
+        cfg, num_classes=num_classes, img_size=tuple(img_size), train_batch=1,
+        msda_impl=resolve_impl("serve"),
+    )
+    model, variables = convert_to_deploy(model, variables)
+    fn = make_serving_forward(model, variables, tuple(img_size), **serving_kw)
+    return fn, model, variables
+
+
 def make_serving_forward(
     model,
     variables,
