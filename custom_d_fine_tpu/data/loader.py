@@ -194,7 +194,17 @@ class Loader:
             logger.info(f"{split}: {len(ds)} images, {background} background, labels: {stats}")
 
     def epoch_iterator(self, split: str, epoch: int = 0, shuffle: Optional[bool] = None,
-                       drop_last: Optional[bool] = None) -> BatchIterator:
+                       drop_last: Optional[bool] = None,
+                       process_index: Optional[int] = None,
+                       process_count: Optional[int] = None) -> BatchIterator:
+        """One epoch of batches; on a multi-host slice each process iterates
+        only its stride of the dataset (reference DistributedSampler,
+        dataset.py:562-568): identical seeded shuffle on every process, then
+        rank::nranks striding. Train epochs wrap-pad to equal per-process
+        length (torch semantics, keeps step counts in lockstep); eval splits
+        are NOT padded — per-process counts may differ by one batch and
+        gather_objects reassembles the exact dataset with no duplicates.
+        process_index/count default to the live JAX process topology."""
         ds = self.datasets[split]
         assert ds is not None, f"no {split}.csv in {self.root_path}"
         if shuffle is None:
@@ -204,6 +214,18 @@ class Loader:
         order = np.arange(len(ds))
         if shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+
+        if process_count is None or process_index is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        if process_count > 1:
+            if shuffle and len(order) % process_count:
+                # wrap-pad so every process runs the same number of steps
+                total = -(-len(order) // process_count) * process_count
+                order = np.concatenate([order, order[: total - len(order)]])
+            order = order[process_index::process_count]
         return BatchIterator(
             ds, order, self.batch_size, self.num_workers, drop_last,
             self.multiscale_prob if split == "train" else 0.0,

@@ -88,15 +88,26 @@ class Trainer:
             self.decision_metrics = [
                 m + "_mask" if m.startswith("mAP_50") else m for m in self.decision_metrics
             ]
+        # rank-0 gating of host artifacts (reference dist_utils.py:69-70):
+        # log sink / wandb / CSV / plots / renders write only on process 0.
+        # Orbax checkpoint saves stay COLLECTIVE (all processes call save —
+        # orbax coordinates and writes each replicated array once), and
+        # metrics are computed on every process from the allgathered
+        # prediction set so host control flow (early stop, best-model choice)
+        # stays replicated with no broadcast (SURVEY.md §5).
+        from ..parallel.multihost import is_main_process
+
+        self.is_main = is_main_process()
         self.path_to_save = Path(t["path_to_save"])
-        self.path_to_save.mkdir(parents=True, exist_ok=True)
-        logger.add(self.path_to_save / "train_log.txt")
+        if self.is_main:
+            self.path_to_save.mkdir(parents=True, exist_ok=True)
+            logger.add(self.path_to_save / "train_log.txt")
         logger.info(f"Experiment: {cfg.get('exp', 'exp')}, Task: {self.task}")
 
         self.dtype = jnp.bfloat16 if t.get("dtype") == "bfloat16" else None
 
         self._wandb = None
-        if t.get("use_wandb"):
+        if t.get("use_wandb") and self.is_main:
             try:
                 import wandb
 
@@ -225,7 +236,11 @@ class Trainer:
             )
             return dets
 
-        self.eval_step = jax.jit(_eval)
+        # eval is sharded over the SAME mesh as training (the reference
+        # evaluates on all GPUs via DistributedSampler, dataset.py:562-568);
+        # committed in_shardings make XLA partition the whole eval graph
+        self.eval_step = jax.jit(
+            _eval, in_shardings=(self.repl, self.data_spec))
 
         self.best_metric = -1.0
         self.epochs_no_improve = 0
@@ -301,6 +316,14 @@ class Trainer:
         criterion's all-query negative terms and normalizers are untouched
         (criterion.py image_valid masking). The reference's DDP sampler pads
         by replication too (torch DistributedSampler semantics).
+
+        Known numerics deviation: BatchNorm batch statistics DO see the padded
+        rows, so on a tail batch the repeated image is weighted up to
+        mesh_size/batch heavier in that step's mean/var (and running stats).
+        Bounded effect: at most (mesh-1) of B rows once per epoch; all losses
+        and gradients are exactly masked. Same tradeoff as the reference's
+        DistributedSampler padding — documented here because our pad count can
+        exceed torch's by up to mesh-1.
         """
         bsz = arrays["images"].shape[0]
         pad = -bsz % self.mesh.size
@@ -363,7 +386,8 @@ class Trainer:
                 break
 
         logger.info(f"Training finished in {(time.time() - t0) / 60:.1f} min")
-        self._write_csv(metrics_history, self.path_to_save / "metrics.csv")
+        if self.is_main:
+            self._write_csv(metrics_history, self.path_to_save / "metrics.csv")
         return metrics_history
 
     # ------------------------------------------------------------ evaluation
@@ -385,12 +409,20 @@ class Trainer:
         side-by-side GT|pred when to_visualize_eval."""
         if visualize is None:
             visualize = bool(self.cfg["train"].get("to_visualize_eval"))
+        visualize = visualize and self.is_main
         preds: List[Dict] = []
         gts: List[Dict] = []
         for batch in self.loader.epoch_iterator(split, shuffle=False, drop_last=False):
-            dets = self.eval_step(self.state, jnp.asarray(batch["images"]))
-            dets = {k: np.asarray(v) for k, v in dets.items()}
             B = batch["images"].shape[0]
+            # pad the tail batch to a mesh multiple (padded rows repeat the
+            # last image and are dropped below), shard over the data axis
+            imgs = batch["images"]
+            pad = -B % self.mesh.size
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+            x = jax.device_put(jnp.asarray(imgs), self.data_spec)
+            dets = self.eval_step(self.state, x)
+            dets = {k: np.asarray(v)[:B] for k, v in dets.items()}
             H, W = batch["images"].shape[1:3]
             for b in range(B):
                 lb = batch["letterbox"][b]

@@ -1,0 +1,90 @@
+"""Data-parallel numerical equivalence: mesh(8) == mesh(1).
+
+The reference gets this property by construction (DDP gradient all-reduce,
+src/dl/train.py:171-176 + criterion num_boxes all_reduce,
+dfine_criterion.py:639-652). Under GSPMD the same program is partitioned by
+the compiler, so the guarantee must be TESTED: the jitted train step on the
+same batch must produce the same total loss, gradient norm, and updated
+parameters whether the batch lives on 1 device or is sharded over 8.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from helpers import make_targets, tiny_config
+
+from custom_d_fine_tpu.models.dfine import build_model
+from custom_d_fine_tpu.parallel.mesh import make_mesh
+from custom_d_fine_tpu.train.criterion import DFINECriterion
+from custom_d_fine_tpu.train.optim import build_optimizer
+from custom_d_fine_tpu.train.train_step import create_train_state, make_train_step
+
+
+def _run_step(mesh, model, criterion, tx, variables, batch, rng):
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state = jax.device_put(create_train_state(variables, tx, use_ema=True), repl)
+    sharded = {k: jax.device_put(v, data) for k, v in batch.items()}
+    step = jax.jit(
+        make_train_step(model, criterion, tx),
+        in_shardings=(repl, {k: data for k in batch}, repl),
+        out_shardings=(repl, repl),
+    )
+    new_state, metrics = step(state, sharded, rng)
+    return new_state, jax.device_get(metrics)
+
+
+def test_mesh8_equals_mesh1():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
+
+    cfg = tiny_config()
+    IMG, B, NC = 160, 8, 4
+    model, variables = build_model(cfg, num_classes=NC, img_size=(IMG, IMG),
+                                   train_batch=2)
+    criterion = DFINECriterion(cfg.criterion, cfg.matcher, num_classes=NC,
+                               num_queries=cfg.decoder.num_queries)
+    tx = build_optimizer(variables["params"], cfg, base_lr=2.5e-4,
+                         backbone_lr=6e-5, total_steps=10)
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, IMG, IMG, 3)), jnp.float32),
+        **make_targets(B, cfg.max_gt, NC, rng),
+    }
+    key = jax.random.PRNGKey(0)
+
+    s1, m1 = _run_step(make_mesh(devices[:1]), model, criterion, tx,
+                       variables, batch, key)
+    s8, m8 = _run_step(make_mesh(devices[:8]), model, criterion, tx,
+                       variables, batch, key)
+
+    # losses and gradient norm: identical up to float reassociation across
+    # the partitioned reductions
+    np.testing.assert_allclose(m1["total_loss"], m8["total_loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(m1["grad_norm"], m8["grad_norm"],
+                               rtol=1e-4, atol=1e-6)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"metric {k} diverged")
+
+    # one optimizer step must land on the same parameters. Tolerance note:
+    # AdamW amplifies the reassociation delta of the partitioned gradient
+    # sums through 1/(sqrt(v)+eps) (v ~ grad^2 near zero) and through the
+    # global-norm clip factor, so per-param updates can differ by ~1e-3
+    # RELATIVE on a handful of elements while the math is identical. Adam's
+    # normalized update is bounded by ~lr per element, so the meaningful
+    # bound is ABSOLUTE: a small fraction of lr (2.5e-4 here).
+    flat1 = jax.tree_util.tree_leaves(jax.device_get(s1.params))
+    flat8 = jax.tree_util.tree_leaves(jax.device_get(s8.params))
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
+
+    # batch stats (BN over the GLOBAL batch — the SyncBatchNorm equivalent)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.batch_stats)),
+                    jax.tree_util.tree_leaves(jax.device_get(s8.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
