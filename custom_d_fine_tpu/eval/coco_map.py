@@ -90,7 +90,18 @@ def _match_image(
     gt_crowd: np.ndarray,    # [G] bool
     dt_out_of_range: np.ndarray,  # [D] bool
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """COCOeval.evaluateImg matching for all IoU thresholds.
+    """COCOeval.evaluateImg matching for all IoU thresholds, vectorized over
+    thresholds and GTs (the only true sequential dependency is over
+    detections, which consume GTs in score order).
+
+    Exact semantics of the pycocotools scan, proven equal by the fixture
+    tests and a randomized differential test (tests/test_validator.py):
+    - a detection takes the best-IoU (>= threshold) available GT; among the
+      non-ignored GTs if any qualifies (the `gtIg[m]==0 and gtIg[g]==1 ->
+      break` rule with GTs sorted non-ignored first), else among ignored;
+    - ties on IoU go to the LAST GT in scan order (pycocotools updates `m`
+      on `iou >= best`);
+    - non-crowd GTs are consumed once; crowd GTs absorb repeatedly.
 
     Returns (tp [T,D], dt_ig [T,D]). GTs must be ordered non-ignored first
     (COCOeval sorts by ignore flag); `ious` columns follow that order.
@@ -99,27 +110,33 @@ def _match_image(
     D, G = ious.shape
     tp = np.zeros((T, D), bool)
     dt_ig = np.zeros((T, D), bool)
-    for t, thr in enumerate(IOU_THRESHOLDS):
-        gt_m = np.full(G, -1)
-        for d in range(D):
-            best = min(thr, 1.0 - 1e-10)
-            m = -1
-            for g in range(G):
-                if gt_m[g] >= 0 and not gt_crowd[g]:
-                    continue  # non-crowd GT already consumed
-                if m > -1 and not gt_ignore[m] and gt_ignore[g]:
-                    break  # have a real match; remaining GTs are all ignored
-                if ious[d, g] < best:
-                    continue
-                best = ious[d, g]
-                m = g
-            if m == -1:
-                # unmatched: FP unless the detection itself is out of range
-                dt_ig[t, d] = dt_out_of_range[d]
-                continue
-            gt_m[m] = d
-            dt_ig[t, d] = gt_ignore[m]  # match to crowd/out-of-range GT
-            tp[t, d] = not gt_ignore[m]
+    if G == 0:
+        dt_ig[:] = dt_out_of_range[None, :]
+        return tp, dt_ig
+    thr = IOU_THRESHOLDS[:, None]                       # [T,1]
+    matched = np.zeros((T, G), bool)
+    ni = ~gt_ignore
+    crowd_row = gt_crowd[None, :]
+    for d in range(D):
+        row = ious[d][None, :]                          # [1,G]
+        ok = (~matched | crowd_row) & (row >= thr)      # [T,G] candidates
+        v_ni = np.where(ok & ni[None, :], row, -1.0)
+        v_ig = np.where(ok & ~ni[None, :], row, -1.0)
+        best_ni = v_ni.max(1)
+        use_ni = best_ni > -1.0                         # real match exists
+        v = np.where(use_ni[:, None], v_ni, v_ig)
+        bestv = np.where(use_ni, best_ni, v_ig.max(1))  # [T]
+        have = bestv > -1.0
+        # last index among equals (pycocotools tie-break)
+        m = G - 1 - np.argmax(v[:, ::-1] == bestv[:, None], axis=1)
+        rows = np.flatnonzero(have)
+        mm = m[rows]
+        matched[rows, mm] = True
+        ig_m = gt_ignore[mm]
+        tp[rows, d] = ~ig_m                             # match to real GT
+        dt_ig[rows, d] = ig_m                           # match to ignored GT
+        # unmatched: FP unless the detection itself is out of range
+        dt_ig[~have, d] = dt_out_of_range[d]
     return tp, dt_ig
 
 
@@ -210,16 +227,18 @@ def coco_map(
                      else np.zeros(len(g_sel), bool))
             g_areas = _areas(g_items, iou_type)
             d_areas = _areas(p_items, iou_type)
+            # IoU once per (image, class); ranges only permute GT columns
+            # (crowd IoA semantics are range-independent)
+            ious_base = iou_fn(p_items, g_items, crowd)
 
             for rname in area_ranges:
                 lo, hi = AREA_RANGES[rname]
                 g_ig = crowd | (g_areas < lo) | (g_areas > hi)
                 # COCOeval sorts GTs ignored-last
                 g_order = np.argsort(g_ig, kind="mergesort")
-                ious = iou_fn(p_items, g_items[g_order], crowd[g_order])
                 d_oor = (d_areas < lo) | (d_areas > hi)
                 tp_i, ig_i = _match_image(
-                    ious, g_ig[g_order], crowd[g_order], d_oor)
+                    ious_base[:, g_order], g_ig[g_order], crowd[g_order], d_oor)
                 st = per_range[rname]
                 st["scores"].append(ps)
                 st["tp"].append(tp_i)
