@@ -25,14 +25,18 @@ def main(argv=None):
     trainer = Trainer(cfg)
 
     # reference train.py:668-677: an interrupt or crash mid-training still
-    # falls through to best-model evaluation of whatever was saved so far
+    # falls through to best-model evaluation of whatever was saved so far.
+    # A real crash must still fail the process (exit 1) after the fallback
+    # eval, so `make main`/automation can't mistake a garbage run for success.
     history = []
+    crashed = None
     try:
         history = trainer.train()
     except KeyboardInterrupt:
         print("Interrupted by user — evaluating best checkpoint so far")
     except Exception as e:
         print(f"Training failed ({e!r}) — evaluating best checkpoint so far")
+        crashed = e
 
     # final: reload best weights, extended eval on val+test (reference
     # train.py:678-745)
@@ -48,6 +52,8 @@ def main(argv=None):
                               if not isinstance(v, dict)})
         if getattr(trainer, "_last_validator", None) is not None:
             trainer._last_validator.save_plots(trainer.path_to_save / f"plots_{split}")
+    if crashed is not None:
+        raise SystemExit(1)
     return history
 
 

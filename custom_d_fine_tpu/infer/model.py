@@ -44,7 +44,6 @@ class JaxModel:
         keep_ratio: bool = False,
         enable_nms: bool = False,
         nms_iou_thresh: float = 0.6,
-        max_batch_size: int = 1,
         dtype: str = "float32",    # float32 | bfloat16 | int8 (weights)
         msda_impl: str = "serve",  # inference-fast Pallas kernel on TPU
         deploy: bool = True,       # reparam-fuse VGGBlocks (deploy/reparam.py)

@@ -49,7 +49,7 @@ class DFINE(nn.Module):
         b, e, d = self.cfg.backbone, self.cfg.encoder, self.cfg.decoder
         feats = HGNetv2(
             arch=b.name, return_idx=b.return_idx, use_lab=b.use_lab,
-            freeze_norm=b.freeze_norm, deploy=self.deploy,
+            freeze_norm=b.freeze_norm,
             stem_external=self.stem_external,
             dtype=self.backbone_dtype or self.dtype, name="backbone",
         )(x, train=train)

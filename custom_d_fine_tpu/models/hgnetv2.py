@@ -95,7 +95,6 @@ class StemBlock(nn.Module):
     out_chs: int
     use_lab: bool = False
     frozen_norm: bool = False
-    deploy: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -204,7 +203,6 @@ class HGNetv2(nn.Module):
     return_idx: Tuple[int, ...] = (1, 2, 3)
     use_lab: bool = False
     freeze_norm: bool = False
-    deploy: bool = False
     # serving option: the input is already the stem output (computed by the
     # fused Pallas stem kernel, ops/pallas/stem.py) — skip StemBlock
     stem_external: bool = False
@@ -217,7 +215,7 @@ class HGNetv2(nn.Module):
         if not self.stem_external:
             x = StemBlock(
                 stem_chs[1], stem_chs[2], use_lab=self.use_lab,
-                frozen_norm=self.freeze_norm, deploy=self.deploy,
+                frozen_norm=self.freeze_norm,
                 dtype=self.dtype, name="stem",
             )(x, train=train)
         outs = []

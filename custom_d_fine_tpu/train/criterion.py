@@ -9,7 +9,9 @@ CDN matched indices (:809-831), unimodal distribution focal loss (:837-858).
 
 TPU redesign:
 - boolean indexing -> gather/scatter with validity masks (static shapes);
-- all Hungarian solves batched into ONE host callback (train/matcher.py);
+- all Hungarian solves batched and solved ON DEVICE by the exact JV
+  auction/augmenting-path solver (ops/lapjv.py via train/matcher.py) — zero
+  host callbacks in the train step;
 - `num_boxes` normalizers are global sums — under pjit/GSPMD, XLA inserts the
   cross-device reduction, replacing the reference's explicit all_reduce
   (:639-652);

@@ -1,0 +1,124 @@
+"""Microbenchmark: can native int8 MXU dot_general beat f32/bf16 at the
+serving matmul shapes? (VERDICT round-2 item 4 — the reference's INT8 is a
+*latency* feature on CPU, ov_int8.py:18-163; on the v5e the MXU has a native
+int8 mode at ~2x the bf16 peak, but dynamic activation quantization costs VPU
+work + an extra reduction.)
+
+Timing protocol (axon tunnel: block_until_ready doesn't block, host fetch
+~29ms): each candidate runs as a carry-dependent chain of N applications
+inside ONE jit, so device time dominates and a single final fetch syncs.
+
+Usage: python tools/bench_int8_mxu.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def make_chain(op, x0, n):
+    """Chain op n times with a carry perturbation so XLA can't hoist/dedup."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, seed):
+        def body(i, carry):
+            x_i = x * (1.0 + 1e-12 * carry)
+            y = op(x_i)
+            return jnp.float32(y.ravel()[0])
+
+        return jax.lax.fori_loop(0, n, body, seed)
+
+    return run
+
+
+def time_op(op, x, n=400, reps=3):
+    import jax.numpy as jnp
+
+    run = make_chain(op, x, n)
+    out = run(x, jnp.float32(0.0))
+    float(out)  # compile + settle
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = run(x, jnp.float32(1.0))
+        float(r)
+        best.append((time.perf_counter() - t0) / n * 1e6)
+    return float(np.median(best))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rng = np.random.default_rng(0)
+    # serving matmul shapes (D-FINE-m 640^2 bs=1): encoder/decoder 1x1-conv
+    # dots and FFNs over 8400/6400 tokens, MSDA value proj, decoder FFN @300q
+    shapes = [
+        ("enc_proj_6400x256x256", (6400, 256), (256, 256)),
+        ("enc_ffn_400x256x1024", (400, 256), (256, 1024)),
+        ("pan_fuse_6400x256x128", (6400, 256), (256, 128)),
+        ("dec_ffn_300x256x1024", (300, 256), (256, 1024)),
+        ("value_proj_8400x256x256", (8400, 256), (256, 256)),
+    ]
+    results = {}
+    for name, xs, ws in shapes:
+        x = jnp.asarray(rng.standard_normal(xs), jnp.float32)
+        w = jnp.asarray(rng.standard_normal(ws), jnp.float32)
+        wq8, wsc = (np.clip(np.round(np.asarray(w) / (np.abs(np.asarray(w)).max(0) / 127.0)), -127, 127).astype(np.int8),
+                    (np.abs(np.asarray(w)).max(0) / 127.0).astype(np.float32))
+        wq = jnp.asarray(wq8)
+        wscale = jnp.asarray(wsc)
+        wb = w.astype(jnp.bfloat16)
+
+        def f32_dot(xi, w=w):
+            return lax.dot(xi, w, precision=lax.Precision.HIGHEST)
+
+        def default_dot(xi, w=w):
+            return lax.dot(xi, w)  # XLA default (bf16 passes on TPU)
+
+        def bf16_dot(xi, wb=wb):
+            return lax.dot(xi.astype(jnp.bfloat16), wb,
+                           preferred_element_type=jnp.float32)
+
+        def int8_static(xi, wq=wq, wscale=wscale):
+            # pretend a static activation scale exists (calibrated): cost =
+            # quantize x + int8 dot + rescale
+            xq = lax.clamp(-127.0, jnp.round(xi * 16.0), 127.0).astype(jnp.int8)
+            acc = lax.dot(xq, wq, preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (wscale / 16.0)
+
+        def int8_dynamic(xi, wq=wq, wscale=wscale):
+            ax = jnp.max(jnp.abs(xi)) + 1e-8
+            s = ax / 127.0
+            xq = lax.clamp(-127.0, jnp.round(xi / s), 127.0).astype(jnp.int8)
+            acc = lax.dot(xq, wq, preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (wscale * s)
+
+        def int8_weight_dequant(xi, wq=wq, wscale=wscale):
+            # current shipped int8 path: weights int8 in HBM, dequant in-graph
+            return lax.dot(xi, wq.astype(jnp.float32) * wscale)
+
+        row = {}
+        for label, op in [("f32_highest", f32_dot), ("default", default_dot),
+                          ("bf16", bf16_dot), ("int8_static", int8_static),
+                          ("int8_dynamic", int8_dynamic),
+                          ("int8_wdequant", int8_weight_dequant)]:
+            row[label] = round(time_op(op, x), 2)
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
