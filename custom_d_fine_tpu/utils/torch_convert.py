@@ -220,19 +220,25 @@ def unwrap_torch_checkpoint(ckpt: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
 def remap_obj365_head(state: Dict[str, np.ndarray], num_classes: int) -> Dict[str, np.ndarray]:
     """Map Objects365-pretrained classification rows onto COCO-sized heads
-    (reference utils.py:100-137): for score-head weights/biases with 366/365
-    rows, select the OBJ365_IDS rows for the first 80 classes."""
+    (reference utils.py:92-137): for score-head weights/biases with 366/365
+    rows, coco class c takes pretrain row OBJ365_IDS[c] + 1 (the +1 skips the
+    checkpoint's leading non-class row, utils.py:100-103). A size-mismatched
+    `denoising_class_embed` is DROPPED — the reference deletes it from the
+    pretrain state so the target keeps its own init (utils.py:113-117).
+
+    Differentially verified against the reference's own adjust_head_parameters
+    in tests/test_torch_convert.py::test_obj365_remap_matches_reference."""
     out = dict(state)
     for k, v in state.items():
-        if not re.search(r"(score_head|class_embed)", k):
-            continue
         v = np.asarray(v)
-        if v.shape[0] in (365, 366):
-            idx = np.asarray(OBJ365_IDS[:num_classes])
-            rows = v[idx]
-            if v.shape[0] == 366 and "class_embed" in k:  # keep padding row
-                rows = np.concatenate([rows, v[-1:]], axis=0)
-            out[k] = rows
+        if v.ndim == 0:
+            continue
+        if "denoising_class_embed" in k:
+            if v.shape[0] != num_classes + 1:  # embedding rows = nc + pad row
+                del out[k]
+        elif re.search(r"score_head", k) and v.shape[0] in (365, 366):
+            idx = np.asarray(OBJ365_IDS[:num_classes]) + 1
+            out[k] = v[idx]
     return out
 
 
