@@ -30,6 +30,8 @@ SIZE = "n"
 IMG = 320
 NUM_CLASSES = 3
 CKPT = "/tmp/trained_parity_n.pth"
+SEG_CKPT = "/tmp/trained_parity_n_seg.pth"
+OBJ365_CKPT = "/tmp/trained_parity_obj365.pth"
 DS = Path("/tmp/trained_parity_ds")
 N_TRAIN, N_VAL = 48, 16
 
@@ -66,7 +68,23 @@ def make_dataset():
     (DS / "val.csv").write_text("\n".join(names[N_TRAIN:]) + "\n")
 
 
-def load_split(split):
+def _instance_mask(cls, box):
+    """Analytic GT mask from the label row, drawn with the same cv2
+    primitives make_dataset used (rect classes 0/1, circle class 2)."""
+    import cv2
+
+    m = np.zeros((IMG, IMG), np.uint8)
+    cx, cy, w, h = box * IMG
+    x1, y1 = int(round(cx - w / 2)), int(round(cy - h / 2))
+    wi, hi = int(round(w)), int(round(h))
+    if cls == 2:
+        cv2.circle(m, (x1 + wi // 2, y1 + hi // 2), min(wi, hi) // 2, 1, -1)
+    else:
+        cv2.rectangle(m, (x1, y1), (x1 + wi, y1 + hi), 1, -1)
+    return m
+
+
+def load_split(split, with_masks=False):
     import cv2
 
     names = (DS / f"{split}.csv").read_text().split()
@@ -81,16 +99,28 @@ def load_split(split):
                 p = r.split()
                 labs.append(int(p[0]))
                 boxes.append([float(v) for v in p[1:]])
-        targets.append({"labels": np.array(labs, np.int64),
-                        "boxes": np.array(boxes, np.float32)})
+        t = {"labels": np.array(labs, np.int64),
+             "boxes": np.array(boxes, np.float32)}
+        if with_masks:
+            t["masks"] = np.stack([_instance_mask(c, b)
+                                   for c, b in zip(labs, t["boxes"])]) \
+                if labs else np.zeros((0, IMG, IMG), np.uint8)
+        targets.append(t)
     return np.stack(images), targets
 
 
-def train(steps=120):
+def train(steps=120, segment=False, obj365=False):
+    """obj365=True trains a 366-class obj365-shaped head on the same synthetic
+    set, with class c relabeled to head row OBJ365_IDS[c] + 1 — the row the
+    obj365->COCO remap maps back onto coco class c (reference
+    utils.py:100-103), so the remapped 80-class model detects c with trained
+    scores."""
     from parity_check import _install_stubs
 
     _install_stubs()
     import torch
+
+    from custom_d_fine_tpu.utils.torch_convert import OBJ365_IDS
 
     torch.manual_seed(0)
     torch.set_num_threads(1)
@@ -98,12 +128,16 @@ def train(steps=120):
     from src.d_fine.dfine import build_loss, build_model, build_optimizer
 
     make_dataset()
-    images, targets = load_split("train")
+    images, targets = load_split("train", with_masks=segment)
+    nc = 366 if obj365 else NUM_CLASSES
+    if obj365:
+        lut = np.asarray([OBJ365_IDS[c] + 1 for c in range(NUM_CLASSES)])
+        targets = [{**t, "labels": lut[t["labels"]]} for t in targets]
 
-    model = build_model(SIZE, num_classes=NUM_CLASSES, enable_mask_head=False,
+    model = build_model(SIZE, num_classes=nc, enable_mask_head=segment,
                         device="cpu", img_size=[IMG, IMG])
-    crit = build_loss(SIZE, num_classes=NUM_CLASSES, label_smoothing=0.0,
-                      enable_mask_head=False)
+    crit = build_loss(SIZE, num_classes=nc, label_smoothing=0.0,
+                      enable_mask_head=segment)
     opt = build_optimizer(model, lr=4e-4, backbone_lr=2e-4, betas=(0.9, 0.999),
                           weight_decay=1e-4, base_lr=4e-4)
     model.train()
@@ -114,7 +148,10 @@ def train(steps=120):
         idx = rng.choice(len(images), B, replace=False)
         x = torch.from_numpy(images[idx].transpose(0, 3, 1, 2)).contiguous()
         tg = [{"labels": torch.from_numpy(targets[i]["labels"]),
-               "boxes": torch.from_numpy(targets[i]["boxes"])} for i in idx]
+               "boxes": torch.from_numpy(targets[i]["boxes"]),
+               **({"masks": torch.from_numpy(
+                   targets[i]["masks"].astype(np.float32))} if segment else {})}
+              for i in idx]
         out = model(x, targets=tg)
         losses = crit(out, tg)
         total = sum(losses.values())
@@ -127,11 +164,12 @@ def train(steps=120):
             print(f"step {it}/{steps} loss={float(total):.3f} "
                   f"({dt / (it + 1):.1f}s/step)", flush=True)
     # the reference saves model_to_save.state_dict() (train.py:485)
-    torch.save(model.state_dict(), CKPT)
-    print(f"saved {CKPT}")
+    path = OBJ365_CKPT if obj365 else (SEG_CKPT if segment else CKPT)
+    torch.save(model.state_dict(), path)
+    print(f"saved {path}")
 
 
-def _torch_detections(model, images):
+def _torch_detections(model, images, with_masks=False):
     """Reference-style eval + flat top-K postprocess (export.py:60-99)."""
     import torch
 
@@ -150,12 +188,16 @@ def _torch_detections(model, images):
                              (b[:, 1] - b[:, 3] / 2) * IMG,
                              (b[:, 0] + b[:, 2] / 2) * IMG,
                              (b[:, 1] + b[:, 3] / 2) * IMG], 1)
-            dets.append({"scores": top.numpy(), "labels": c.numpy(),
-                         "boxes": xyxy})
+            d = {"scores": top.numpy(), "labels": c.numpy(), "boxes": xyxy}
+            if with_masks:
+                # eval-mode pred_masks is already sigmoid (dfine_decoder:1024);
+                # gather the top-K queries like export.py:92-98
+                d["masks"] = out["pred_masks"][0][q].numpy()
+            dets.append(d)
     return dets
 
 
-def _jax_detections(variables, images):
+def _jax_detections(variables, images, with_masks=False, num_classes=None):
     import jax
     import jax.numpy as jnp
 
@@ -168,22 +210,26 @@ def _jax_detections(variables, images):
     from custom_d_fine_tpu.models.dfine import build_model as build_jax
     from custom_d_fine_tpu.ops.postprocess import topk_detections
 
-    cfg = get_model_config(SIZE)
-    model, _ = build_jax(cfg, num_classes=NUM_CLASSES, img_size=(IMG, IMG),
-                         train_batch=1)
+    cfg = get_model_config(SIZE, enable_mask_head=with_masks)
+    model, _ = build_jax(cfg, num_classes=num_classes or NUM_CLASSES,
+                         img_size=(IMG, IMG), train_batch=1)
 
     @jax.jit
     def infer(x):
         out = model.apply(variables, x, train=False)
         return topk_detections(out["pred_logits"], out["pred_boxes"], 300,
-                               (IMG, IMG))
+                               (IMG, IMG),
+                               pred_masks=out.get("pred_masks"))
 
     dets = []
     for i in range(len(images)):
         d = infer(jnp.asarray(images[i: i + 1]))
-        dets.append({"scores": np.asarray(d["scores"][0]),
-                     "labels": np.asarray(d["labels"][0]),
-                     "boxes": np.asarray(d["boxes"][0])})
+        det = {"scores": np.asarray(d["scores"][0]),
+               "labels": np.asarray(d["labels"][0]),
+               "boxes": np.asarray(d["boxes"][0])}
+        if with_masks:
+            det["masks"] = np.asarray(d["masks"][0])
+        dets.append(det)
     return dets
 
 
@@ -205,6 +251,50 @@ def _quality(dets, targets, conf=0.35):
                       "scores": d["scores"][keep]})
     m = coco_map(preds, gts)
     return {"mAP_50": float(m["map_50"]), "mAP": float(m["map"])}
+
+
+def _quality_segm(dets, targets, top=50):
+    """Mask mAP_50: pred masks upsampled to IMG, binarized at 0.5, vs the
+    analytic GT instance masks (same protocol for torch and jax sides)."""
+    import cv2
+
+    from custom_d_fine_tpu.eval.coco_map import coco_map
+
+    gts, preds = [], []
+    for d, t in zip(dets, targets):
+        gts.append({"labels": t["labels"].astype(np.int32),
+                    "masks": t["masks"].astype(bool)})
+        keep = np.argsort(-d["scores"])[:top]  # cap: mask IoU is O(IMG^2)
+        keep = keep[d["scores"][keep] > 0.05]
+        up = np.stack([
+            cv2.resize(d["masks"][j].astype(np.float32), (IMG, IMG),
+                       interpolation=cv2.INTER_LINEAR) > 0.5
+            for j in keep]) if len(keep) else np.zeros((0, IMG, IMG), bool)
+        preds.append({"labels": d["labels"][keep].astype(np.int32),
+                      "scores": d["scores"][keep],
+                      "masks": up})
+    m = coco_map(preds, gts, iou_type="segm", area_ranges=("all",))
+    return {"mask_mAP_50": float(m["map_50"]), "mask_mAP": float(m["map"])}
+
+
+SECTION_MARK = {"seg": "## Segment path (mask head)",
+                "remap": "## Objects365 head-remap path"}
+
+
+def _write_section(key: str, body: str):
+    """Replace-or-append a section of PARITY_TRAINED.md."""
+    path = Path("/root/repo/PARITY_TRAINED.md")
+    text = path.read_text() if path.exists() else "# Trained-checkpoint conversion parity\n"
+    mark = SECTION_MARK[key]
+    if mark in text:
+        head = text[: text.index(mark)]
+        rest = text[text.index(mark):]
+        nxt = rest.find("\n## ", len(mark))
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        text = head + mark + "\n" + body.rstrip() + "\n\n" + tail
+    else:
+        text = text.rstrip() + "\n\n" + mark + "\n" + body.rstrip() + "\n"
+    path.write_text(text)
 
 
 def evaluate():
@@ -323,9 +413,211 @@ Reproduce: `python tools/trained_parity.py train && python tools/trained_parity.
     return ok
 
 
+def evaluate_seg():
+    """Segment-path parity: trained torch reference WITH mask head ->
+    production conversion -> box + mask mAP deltas (VERDICT round-2 item 9i)."""
+    from parity_check import _install_stubs
+
+    _install_stubs()
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.d_fine.dfine import build_model
+
+    from custom_d_fine_tpu.configs import get_model_config
+    from custom_d_fine_tpu.utils.torch_convert import (
+        convert_torch_state,
+        load_torch_checkpoint_file,
+    )
+
+    if not DS.exists():
+        make_dataset()
+    images, targets = load_split("val", with_masks=True)
+
+    model = build_model(SIZE, num_classes=NUM_CLASSES, enable_mask_head=True,
+                        device="cpu", img_size=[IMG, IMG])
+    model.load_state_dict(torch.load(SEG_CKPT, map_location="cpu",
+                                     weights_only=False))
+    print("torch seg eval...", flush=True)
+    torch_dets = _torch_detections(model, images, with_masks=True)
+
+    state = load_torch_checkpoint_file(SEG_CKPT)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from custom_d_fine_tpu.models.dfine import build_model as build_jax
+
+    cfg = get_model_config(SIZE, enable_mask_head=True)
+    _, variables = build_jax(cfg, num_classes=NUM_CLASSES, img_size=(IMG, IMG),
+                             train_batch=1)
+    params, stats, report = convert_torch_state(
+        state, variables["params"], variables["batch_stats"])
+    n_bad = (len(report["unmatched"]) + len(report["shape_mismatch"])
+             + len(report["missed"]))
+    print(f"conversion: unmatched={len(report['unmatched'])} "
+          f"mismatch={len(report['shape_mismatch'])} missed={len(report['missed'])}")
+    assert n_bad == 0, report
+
+    print("jax seg eval...", flush=True)
+    jax_dets = _jax_detections({"params": params, "batch_stats": stats},
+                               images, with_masks=True)
+
+    tq = {**_quality(torch_dets, targets), **_quality_segm(torch_dets, targets)}
+    jq = {**_quality(jax_dets, targets), **_quality_segm(jax_dets, targets)}
+    box_delta = abs(tq["mAP_50"] - jq["mAP_50"])
+    mask_delta = abs(tq["mask_mAP_50"] - jq["mask_mAP_50"])
+    ok = box_delta <= 0.005 and mask_delta <= 0.005
+    result = {"torch": tq, "jax": jq, "mAP_50_delta": box_delta,
+              "mask_mAP_50_delta": mask_delta, "pass": bool(ok)}
+    print(json.dumps(result, indent=2))
+
+    _write_section("seg", f"""
+Same substitute protocol as the detect path, with the torch reference's mask
+head ON (`build_model(..., enable_mask_head=True)`, MaskDecoder
+`arch/dfine_decoder.py:316-370`): trained on the synthetic set with analytic
+instance masks, saved flat `state_dict()`, pushed through
+`convert_torch_state` (exercises the mask_decoder lateral/GN key mappings),
+mask logits compared after identical top-K gather + upsample + 0.5 binarize.
+
+| metric | torch reference | this framework | delta |
+|---|---|---|---|
+| mAP@50 (boxes) | {tq['mAP_50']:.4f} | {jq['mAP_50']:.4f} | {box_delta:.4f} |
+| mask mAP@50 | {tq['mask_mAP_50']:.4f} | {jq['mask_mAP_50']:.4f} | {mask_delta:.4f} |
+| mask mAP@[.5:.95] | {tq['mask_mAP']:.4f} | {jq['mask_mAP']:.4f} | {abs(tq['mask_mAP'] - jq['mask_mAP']):.4f} |
+
+- Conversion report: 0 unmatched / 0 shape-mismatched / 0 missed keys
+  (incl. every `mask_decoder.*` tensor).
+- Verdict: **{"PASS" if ok else "FAIL"}** (contract: both deltas <= 0.005).
+
+Reproduce: `python tools/trained_parity.py train_seg && python tools/trained_parity.py eval_seg`
+""")
+    print("wrote PARITY_TRAINED.md segment section;", "PASS" if ok else "FAIL")
+    return ok
+
+
+def evaluate_remap():
+    """Objects365 remap-path parity e2e (VERDICT round-2 item 9ii): a
+    366-class obj365-shaped torch checkpoint loaded into an 80-class model by
+    the reference's own load_tuning_state, vs the same checkpoint through
+    remap_obj365_head + convert_torch_state. Weights after both paths must
+    produce identical detections (random-init heads are fine: the transform,
+    not training, is under test — backbone/encoder weights are the torch
+    init, so all stages carry real signal)."""
+    from parity_check import _install_stubs
+
+    _install_stubs()
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.d_fine.dfine import build_model
+    from src.d_fine.utils import load_tuning_state
+
+    from custom_d_fine_tpu.configs import get_model_config
+    from custom_d_fine_tpu.utils.torch_convert import (
+        convert_torch_state,
+        load_torch_checkpoint_file,
+        remap_obj365_head,
+    )
+
+    NC80 = 80
+    if not DS.exists():
+        make_dataset()
+    images, targets = load_split("val")
+
+    torch.manual_seed(5)  # fresh init for the target model
+    model80 = build_model(SIZE, num_classes=NC80, enable_mask_head=False,
+                          device="cpu", img_size=[IMG, IMG])
+    load_tuning_state(model80, OBJ365_CKPT)  # reference remap + partial load
+
+    # ---- our production path on the SAME checkpoint
+    state = load_torch_checkpoint_file(OBJ365_CKPT)
+    state = remap_obj365_head(state, NC80)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from custom_d_fine_tpu.models.dfine import build_model as build_jax
+
+    cfg = get_model_config(SIZE)
+    _, variables = build_jax(cfg, num_classes=NC80, img_size=(IMG, IMG),
+                             train_batch=1)
+    params, stats, report = convert_torch_state(
+        state, variables["params"], variables["batch_stats"], strict=False)
+    # denoising_class_embed is dropped by the remap (reference deletes it);
+    # train-time it keeps target init. It does not run at eval, so detection
+    # comparison is exact. Everything else must convert.
+    missed = [k for _, k in report["missed"] if "denoising_class_embed" not in k]
+    assert not (report["unmatched"] or report["shape_mismatch"] or missed), report
+
+    torch_dets = _torch_detections(model80, images)
+    jax_dets = _jax_detections({"params": params, "batch_stats": stats},
+                               images, num_classes=NC80)
+
+    # the TRAINED head separates scores, so detection-level comparison is
+    # stable (random-init heads near-tie encoder proposal scores and fp noise
+    # reorders the decoder's top-300 query selection)
+    tq = _quality(torch_dets, targets)
+    jq = _quality(jax_dets, targets)
+    delta = abs(tq["mAP_50"] - jq["mAP_50"])
+    agree, total, max_score_delta = 0, 0, 0.0
+    for td, jd in zip(torch_dets, jax_dets):
+        tk = td["scores"] > 0.35
+        jk = jd["scores"] > 0.35
+        total += int(tk.sum())
+        for b, l, s in zip(td["boxes"][tk], td["labels"][tk], td["scores"][tk]):
+            if not jk.any():
+                continue
+            d = np.abs(jd["boxes"][jk] - b).max(1)
+            i = int(np.argmin(d))
+            if d[i] < 1.5 and jd["labels"][jk][i] == l:
+                agree += 1
+                max_score_delta = max(max_score_delta,
+                                      abs(float(jd["scores"][jk][i] - s)))
+    ok = delta <= 0.005 and agree == total and total > 0
+    result = {"torch": tq, "jax": jq, "mAP_50_delta": delta,
+              "detections_matched": f"{agree}/{total}",
+              "max_matched_score_delta": max_score_delta, "pass": bool(ok)}
+    print(json.dumps(result, indent=2))
+
+    _write_section("remap", f"""
+End-to-end proof of the Objects365->COCO head remap on a TRAINED obj365-shaped
+checkpoint: the torch reference (D-FINE-{SIZE}) is trained with a 366-class
+head on the synthetic set, with class c relabeled to head row
+`obj365_ids[c] + 1` — the row the remap maps back onto coco class c
+(reference `utils.py:100-103`). The saved checkpoint is then loaded into an
+80-class torch model by the REFERENCE's own `load_tuning_state`
+(`d_fine/utils.py:155-180`: adjust_head_parameters -> matched_state partial
+load), and independently pushed through this framework's `remap_obj365_head`
++ `convert_torch_state`. Both 80-class models evaluate the val split:
+
+| metric | torch reference | this framework | delta |
+|---|---|---|---|
+| mAP@50 (val) | {tq['mAP_50']:.4f} | {jq['mAP_50']:.4f} | {delta:.4f} |
+
+- Detection agreement (conf>0.35): **{agree}/{total}** within 1.5 px, same
+  class; max matched score delta {max_score_delta:.2e}.
+- The row transform itself is unit-differentially tested against
+  `adjust_head_parameters` in `tests/test_torch_convert.py` (the +1 row
+  offset, utils.py:100-103, and the denoising-embed drop, :113-117).
+- Verdict: **{"PASS" if ok else "FAIL"}** (mAP_50 delta <= 0.005, all
+  detections matched).
+
+Reproduce: `python tools/trained_parity.py train_obj365 && python tools/trained_parity.py eval_remap`
+""")
+    print("wrote PARITY_TRAINED.md remap section;", "PASS" if ok else "FAIL")
+    return ok
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "eval"
     if cmd == "train":
         train(int(sys.argv[2]) if len(sys.argv) > 2 else 120)
+    elif cmd == "train_seg":
+        train(int(sys.argv[2]) if len(sys.argv) > 2 else 120, segment=True)
+    elif cmd == "train_obj365":
+        train(int(sys.argv[2]) if len(sys.argv) > 2 else 120, obj365=True)
+    elif cmd == "eval_seg":
+        sys.exit(0 if evaluate_seg() else 1)
+    elif cmd == "eval_remap":
+        sys.exit(0 if evaluate_remap() else 1)
     else:
         sys.exit(0 if evaluate() else 1)
