@@ -466,9 +466,31 @@ def evaluate_seg():
     jq = {**_quality(jax_dets, targets), **_quality_segm(jax_dets, targets)}
     box_delta = abs(tq["mAP_50"] - jq["mAP_50"])
     mask_delta = abs(tq["mask_mAP_50"] - jq["mask_mAP_50"])
-    ok = box_delta <= 0.005 and mask_delta <= 0.005
+
+    # direct torch-vs-jax agreement on the predicted mask PROBABILITIES for
+    # the same (score-matched) detections — the conversion proof that does
+    # not depend on 120-step mask quality against GT
+    max_mask_delta, mean_iou, n_pairs = 0.0, [], 0
+    for td, jd in zip(torch_dets, jax_dets):
+        tk = np.flatnonzero(td["scores"] > 0.35)
+        for ti in tk:
+            ji = int(np.argmin(np.abs(jd["scores"] - td["scores"][ti])))
+            if jd["labels"][ji] != td["labels"][ti]:
+                continue
+            tm, jm = td["masks"][ti], jd["masks"][ji]
+            max_mask_delta = max(max_mask_delta, float(np.abs(tm - jm).max()))
+            tb, jb = tm > 0.5, jm > 0.5
+            union = (tb | jb).sum()
+            mean_iou.append(float((tb & jb).sum() / union) if union else 1.0)
+            n_pairs += 1
+    mean_iou = float(np.mean(mean_iou)) if mean_iou else 0.0
+    ok = (box_delta <= 0.005 and mask_delta <= 0.005
+          and n_pairs > 0 and max_mask_delta < 1e-2 and mean_iou > 0.99)
     result = {"torch": tq, "jax": jq, "mAP_50_delta": box_delta,
-              "mask_mAP_50_delta": mask_delta, "pass": bool(ok)}
+              "mask_mAP_50_delta": mask_delta,
+              "matched_mask_pairs": n_pairs,
+              "max_mask_prob_delta": max_mask_delta,
+              "mean_mask_iou_torch_vs_jax": mean_iou, "pass": bool(ok)}
     print(json.dumps(result, indent=2))
 
     _write_section("seg", f"""
@@ -487,7 +509,12 @@ mask logits compared after identical top-K gather + upsample + 0.5 binarize.
 
 - Conversion report: 0 unmatched / 0 shape-mismatched / 0 missed keys
   (incl. every `mask_decoder.*` tensor).
-- Verdict: **{"PASS" if ok else "FAIL"}** (contract: both deltas <= 0.005).
+- Direct mask agreement for the {n_pairs} score-matched detection pairs
+  (conversion proof independent of the 120-step mask quality vs GT):
+  max |p_torch - p_jax| = {max_mask_delta:.2e}; mean binarized-mask IoU
+  torch-vs-jax = {mean_iou:.4f}.
+- Verdict: **{"PASS" if ok else "FAIL"}** (deltas <= 0.005, mask prob delta
+  < 1e-2, torch-vs-jax mask IoU > 0.99).
 
 Reproduce: `python tools/trained_parity.py train_seg && python tools/trained_parity.py eval_seg`
 """)
