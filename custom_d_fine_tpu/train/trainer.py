@@ -239,6 +239,7 @@ class Trainer:
         # eval is sharded over the SAME mesh as training (the reference
         # evaluates on all GPUs via DistributedSampler, dataset.py:562-568);
         # committed in_shardings make XLA partition the whole eval graph
+        self._eval_fn = _eval  # unjitted; tests compare sharded vs plain
         self.eval_step = jax.jit(
             _eval, in_shardings=(self.repl, self.data_spec))
 

