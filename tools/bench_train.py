@@ -3,7 +3,13 @@
 Counterpart to bench.py's inference metric (BASELINE.md tracks train+infer
 images/sec/chip). Prints one JSON line.
 
-Usage: python tools/bench_train.py [batch] [size]
+Usage: python tools/bench_train.py [batch] [size] [dtype] [msda_impl]
+
+msda_impl: 'auto' (default; resolves to the Pallas separable kernel on
+TPU — the impl the production Trainer uses, trainer.py:158-164) or 'xla'.
+Measured 2026-08-17 bs=8 bf16: pallas_sep 44.1 img/s vs xla 28.8 (the tool
+previously defaulted to 'xla', which caused round-2's phantom 'tunnel
+drift': round-1's 43.7 was the Pallas graph).
 """
 
 import json
@@ -15,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def main(batch=8, size="m", dtype=None):
+def main(batch=8, size="m", dtype=None, msda_impl="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -32,8 +38,11 @@ def main(batch=8, size="m", dtype=None):
     cfg = get_model_config(size)
     import jax.numpy as _jnp
     compute_dtype = _jnp.bfloat16 if dtype == "bfloat16" else None
+    from custom_d_fine_tpu.ops.deform_attn import resolve_impl
+
     model, variables = build_model(cfg, num_classes=NC, img_size=(IMG, IMG), train_batch=2,
-                                   dtype=compute_dtype)
+                                   dtype=compute_dtype,
+                                   msda_impl=resolve_impl(msda_impl))
     criterion = DFINECriterion(cfg.criterion, cfg.matcher, num_classes=NC,
                                num_queries=cfg.decoder.num_queries)
     tx = build_optimizer(variables["params"], cfg, base_lr=1.5e-4, backbone_lr=2e-5,
@@ -59,13 +68,19 @@ def main(batch=8, size="m", dtype=None):
         state, m = step_fn(state, batch_data, jax.random.PRNGKey(i))
     loss = float(m["total_loss"])  # host fetch = real sync on this runtime
     dt = time.perf_counter() - t0
+    from custom_d_fine_tpu.utils.profiling import device_memory_stats
+
+    mem = device_memory_stats()[0]
     print(json.dumps({
         "metric": f"dfine_{size}_640_train_throughput" + ("_bf16" if dtype else ""),
         "value": round(B * N / dt, 2),
         "unit": "img/s",
         "ms_per_step": round(dt / N * 1000, 1),
         "batch": B,
+        "msda_impl": resolve_impl(msda_impl),
         "loss": round(loss, 3),
+        "hbm_peak_mb": round(mem.get("peak_bytes_mb", 0)),
+        "hbm_limit_mb": round(mem.get("bytes_limit_mb", 0)),
         "device": str(jax.devices()[0]),
     }))
 
@@ -74,4 +89,5 @@ if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     s = sys.argv[2] if len(sys.argv) > 2 else "m"
     dt = sys.argv[3] if len(sys.argv) > 3 else None
-    main(b, s, dt)
+    impl = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    main(b, s, dt, impl)

@@ -33,7 +33,7 @@ def categorize(name: str) -> str:
     return "other"
 
 
-def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40):
+def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40, msda_impl="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -50,8 +50,11 @@ def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40):
     B, IMG, NC = batch, 640, 80
     cfg = get_model_config(size)
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+    from custom_d_fine_tpu.ops.deform_attn import resolve_impl
+
     model, variables = build_model(cfg, num_classes=NC, img_size=(IMG, IMG),
-                                   train_batch=2, dtype=compute_dtype)
+                                   train_batch=2, dtype=compute_dtype,
+                                   msda_impl=resolve_impl(msda_impl))
     criterion = DFINECriterion(cfg.criterion, cfg.matcher, num_classes=NC,
                                num_queries=cfg.decoder.num_queries)
     tx = build_optimizer(variables["params"], cfg, base_lr=1.5e-4,
@@ -100,4 +103,5 @@ if __name__ == "__main__":
     s = sys.argv[2] if len(sys.argv) > 2 else "m"
     dt = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    main(b, s, dt, n)
+    impl = sys.argv[5] if len(sys.argv) > 5 else "auto"
+    main(b, s, dt, n, msda_impl=impl)
