@@ -41,8 +41,22 @@ Match = Dict[str, jnp.ndarray]  # {"q": [B,M], "g": [B,M], "valid": [B,M]}
 
 
 def _gather_q(x: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """x [B,Q,...] gathered at query indices q [B,M] -> [B,M,...]."""
+    """x [B,Q,...] gathered at query indices q [B,M] -> [B,M,...].
+
+    Wide float rows go through a one-hot MXU contraction instead of
+    take_along_axis: the TPU lowering of the row gather is per-row DMAs
+    (profiled 3.8 ms per aux layer for [8,300,132] corner logits,
+    2026-08-17), while the one-hot batched matmul is ~100x cheaper and its
+    transpose (the gradient) is a matmul too, replacing an even slower
+    scatter. Exact: one-hot selects exactly one element per output row."""
     qc = jnp.clip(q, 0, x.shape[1] - 1)
+    if x.ndim == 3 and x.shape[-1] >= 8 and jnp.issubdtype(x.dtype, jnp.floating):
+        onehot = (qc[..., None] == jnp.arange(x.shape[1])).astype(x.dtype)
+        return jax.lax.dot_general(
+            onehot, x, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     idx = qc.reshape(qc.shape + (1,) * (x.ndim - 2))
     idx = jnp.broadcast_to(idx, qc.shape + x.shape[2:])
     return jnp.take_along_axis(x, idx, axis=1)
