@@ -33,6 +33,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_tile(HW: int, cap: int = 1024, step_cost: int = 128) -> int:
+    """Spatial tile width for the bwd kernel: the VPU compare/select work is
+    proportional to the PADDED level size, so pick the multiple of 128 that
+    minimizes padding plus a per-grid-step overhead surrogate. The old
+    min(round_up(HW,128), 1024) padded 80x80 to 7168 (+12%) and 40x40 to
+    2048 (+28%); this picks 640 (no padding) and 896 (+12%) instead."""
+    best_t, best_cost = 128, None
+    for t in range(128, cap + 1, 128):
+        pad = _round_up(HW, t)
+        cost = pad + step_cost * (pad // t)
+        if best_cost is None or cost < best_cost:
+            best_t, best_cost = t, cost
+    return best_t
+
+
 def _corner_idx_weights(loc, attn_w, H: int, W: int):
     """Flattened corner indices + combined weights for one level.
     loc [B, Lq, h, P, 2], attn_w [B, Lq, h, P] ->
@@ -168,8 +183,12 @@ def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
     """Backward per level. Grid (BH, n_tiles). Blocks:
     idx/w/dwe [1, LQ_PAD, E], g [1, LQ_PAD, c], v/dv [1, tile, c].
 
+    dS_tile = g @ V_tile^T, then one pass over the 4P entries shares each
+    compare mask between the two consumers (the kernel is VPU-bound on these
+    [LQ, tile] compare/selects, not MXU-bound — profile 2026-08-17):
+        s       += where(mask_e, w_e)      (S rebuild for dV)
+        dW[e]   += row-reduce(where(mask_e, dS_tile))
     dV_tile = S_tile^T @ g        (replaces XLA's scatter-add — pure MXU)
-    dS_tile = g @ V_tile^T, then dW[e] += row-reduce(dS_tile * (col == idx_e))
     """
     t = pl.program_id(1)
 
@@ -181,23 +200,20 @@ def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
     lq = idx_ref.shape[1]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, tile), 1) + col0
 
+    g = g_ref[0]  # [LQ, c]
+    ds = jnp.dot(g, v_ref[0].T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # [LQ, tile]
+
     s = jnp.zeros((lq, tile), jnp.float32)
     for e in range(n_entries):
-        idx_e = idx_ref[0, :, e][:, None]
-        w_e = w_ref[0, :, e][:, None]
-        s = s + jnp.where(col_ids == idx_e, w_e, 0.0)
+        mask_e = col_ids == idx_ref[0, :, e][:, None]
+        s = s + jnp.where(mask_e, w_ref[0, :, e][:, None], 0.0)
+        dwe_ref[0, :, e] += jnp.sum(jnp.where(mask_e, ds, 0.0), axis=1)
 
-    g = g_ref[0]  # [LQ, c]
     dv_ref[0, :, :] = jnp.dot(
         s.T, g, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-
-    ds = jnp.dot(g, v_ref[0].T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # [LQ, tile]
-    for e in range(n_entries):
-        idx_e = idx_ref[0, :, e][:, None]
-        dwe_ref[0, :, e] += jnp.sum(jnp.where(col_ids == idx_e, ds, 0.0), axis=1)
 
 
 def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
@@ -230,7 +246,7 @@ def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
             cw = jnp.pad(cw, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
 
         v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, HW, c).astype(jnp.float32)
-        tile = min(_round_up(HW, 128), 1024)
+        tile = _pick_tile(HW)
         HW_pad = _round_up(HW, tile)
         if HW_pad != HW:
             v_l = jnp.pad(v_l, ((0, 0), (0, HW_pad - HW), (0, 0)))

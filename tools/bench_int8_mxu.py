@@ -8,6 +8,28 @@ Timing protocol (axon tunnel: block_until_ready doesn't block, host fetch
 ~29ms): each candidate runs as a carry-dependent chain of N applications
 inside ONE jit, so device time dominates and a single final fetch syncs.
 
+MEASURED (v5e, 2026-08-17, us/op — full table in the JSON output):
+
+    shape                     f32_hi  default  bf16   i8_static i8_dyn i8_wdq
+    enc_proj  6400x256x256    113.2   104.8    109.3  105.6     120.8  106.8
+    enc_ffn    400x256x1024   100.8   113.6    110.9  109.8      95.9  106.1
+    pan_fuse  6400x256x128     97.8   121.7    114.2  121.5     112.6   94.7
+    dec_ffn    300x256x1024    73.7    83.0     81.3  200.4     119.9  100.6
+    value_proj 8400x256x256    79.3    82.7     77.8  114.2     119.7   82.9
+
+CONCLUSION (VERDICT r2 item 4 closed as a documented negative): native int8
+MXU compute does NOT win at this model's serving shapes. Every op is ~75-120us
+— at these sizes the v5e is dispatch/bandwidth-bound, not MXU-peak-bound, so
+halving MXU cycles buys nothing, while the quantize (dynamic) or int32->f32
+rescale (static) adds VPU work; int8_static's requantized [M,1024] output even
+hits a pathological 2.7x at dec_ffn. Spread between float variants (~15%) is
+tunnel scheduling noise; no int8 variant beats the best float variant beyond
+it. The reference's 2.6x INT8 win (ov_int8.py, README.md:116) is a CPU-AVX
+phenomenon where int8 halves the memory traffic of the bottleneck; on the v5e
+the serving graph's weights already fit VMEM-resident per-op. int8 weight
+STORAGE (deploy/quantize.py) remains available for HBM footprint; int8
+COMPUTE is not wired into serving by design.
+
 Usage: python tools/bench_int8_mxu.py
 """
 
