@@ -223,3 +223,19 @@ def test_pallas_sep_large_level_branch_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(ms_deform_attn_sep(value, shapes, loc, w, points))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_pick_tile_contract():
+    """_pick_tile must return a multiple of 128 within cap that never pads
+    worse than the old min(round_up(HW,128), 1024) policy, and hits the two
+    production level sizes exactly as documented (640x? see msda.py)."""
+    from custom_d_fine_tpu.ops.pallas.msda import _pick_tile, _round_up
+
+    for hw in (12, 100, 1600, 6400, 25600, 160 * 160):
+        t = _pick_tile(hw)
+        assert t % 128 == 0 and 128 <= t <= 1024
+        old = min(_round_up(hw, 128), 1024)
+        assert _round_up(hw, t) <= _round_up(hw, old)
+    # production 640^2 levels: 80x80 tiles exactly, 40x40 pads +12% not +28%
+    assert _round_up(6400, _pick_tile(6400)) == 6400
+    assert _round_up(1600, _pick_tile(1600)) <= 1792
