@@ -101,7 +101,7 @@ def main():
         ts.append((time.perf_counter() - t0) * 1000)
     fetch_p50 = float(np.percentile(ts, 50))
 
-    print(json.dumps({
+    row = {
         "metric": "dfine_m_640_e2e_pipelined_latency",
         "value": round(pipelined_ms, 3),
         "unit": "ms",
@@ -109,7 +109,29 @@ def main():
         "fetch_synced_p50_ms": round(fetch_p50, 3),
         "throughput_img_s": round(1000.0 / pipelined_ms, 1),
         "device": str(jax.devices()[0]),
-    }))
+    }
+
+    # Secondary: train throughput (BASELINE.md tracks img/s/chip train+infer).
+    # Same production graph tools/bench_train.py measures; its bs=8 bf16
+    # compile is in the persistent cache, so this adds ~1 min, not a fresh
+    # 640x640 train compile. Failure degrades to the inference-only row.
+    import os
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "bench_train", "/root/repo/tools/bench_train.py")
+            bt = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(bt)
+            tr = bt.main(8, "m", "bfloat16")
+            row["train_img_s_bs8_bf16"] = tr["value"]
+            row["train_ms_per_step"] = tr["ms_per_step"]
+        except Exception as e:  # noqa: BLE001 — keep the inference row alive
+            import sys
+            row["train_error"] = repr(e)
+            print(f"bench: train row failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -71,7 +71,7 @@ def main(batch=8, size="m", dtype=None, msda_impl="auto"):
     from custom_d_fine_tpu.utils.profiling import device_memory_stats
 
     mem = device_memory_stats()[0]
-    print(json.dumps({
+    return {
         "metric": f"dfine_{size}_640_train_throughput" + ("_bf16" if dtype else ""),
         "value": round(B * N / dt, 2),
         "unit": "img/s",
@@ -82,7 +82,7 @@ def main(batch=8, size="m", dtype=None, msda_impl="auto"):
         "hbm_peak_mb": round(mem.get("peak_bytes_mb", 0)),
         "hbm_limit_mb": round(mem.get("bytes_limit_mb", 0)),
         "device": str(jax.devices()[0]),
-    }))
+    }
 
 
 if __name__ == "__main__":
@@ -90,4 +90,4 @@ if __name__ == "__main__":
     s = sys.argv[2] if len(sys.argv) > 2 else "m"
     dt = sys.argv[3] if len(sys.argv) > 3 else None
     impl = sys.argv[4] if len(sys.argv) > 4 else "auto"
-    main(b, s, dt, impl)
+    print(json.dumps(main(b, s, dt, impl)))
