@@ -200,9 +200,10 @@ def ms_deform_attn_xla(
 def resolve_impl(impl: str = "auto") -> str:
     """'auto' -> the separable Pallas kernel on TPU (per-level hybrid:
     MXU y-interp for large levels, compare-accumulate for small ones),
-    XLA gather elsewhere. 'serve' -> the bf16 single-MXU-pass variant of the
-    same kernel (inference-only precision/latency tradeoff), XLA elsewhere."""
-    if impl == "serve":
+    XLA gather elsewhere. 'fast' (alias 'serve') -> the bf16 single-MXU-pass
+    variant of the same kernel — the serving default, and the Trainer's
+    default (AMP parity with the torch reference; exact interp via 'auto')."""
+    if impl in ("serve", "fast"):
         try:
             return ("pallas_sep_fast" if jax.devices()[0].platform == "tpu"
                     else "xla")

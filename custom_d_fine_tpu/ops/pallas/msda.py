@@ -179,7 +179,7 @@ def _msda_pallas(value, spatial_shapes, sampling_locations, attention_weights,
 
 
 def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
-                      tile: int, n_entries: int):
+                      tile: int, n_entries: int, exact: bool):
     """Backward per level. Grid (BH, n_tiles). Blocks:
     idx/w/dwe [1, LQ_PAD, E], g [1, LQ_PAD, c], v/dv [1, tile, c].
 
@@ -189,6 +189,13 @@ def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
         s       += where(mask_e, w_e)      (S rebuild for dV)
         dW[e]   += row-reduce(where(mask_e, dS_tile))
     dV_tile = S_tile^T @ g        (replaces XLA's scatter-add — pure MXU)
+
+    exact=False runs both dots as single bf16 MXU passes (vs 6 passes for
+    f32 HIGHEST): measured 142.5 -> 131.5 ms/step on the full bs=8 train
+    graph (same-session A/B, 2026-08-17). It is selected when the incoming
+    value/grad are ALREADY bf16-rounded (bf16 train graph), where HIGHEST
+    only buys precision the inputs never had; f32 inputs keep HIGHEST —
+    mirrors the torch reference training under AMP autocast.
     """
     t = pl.program_id(1)
 
@@ -200,9 +207,10 @@ def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
     lq = idx_ref.shape[1]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, tile), 1) + col0
 
+    prec = jax.lax.Precision.HIGHEST if exact else None
     g = g_ref[0]  # [LQ, c]
     ds = jnp.dot(g, v_ref[0].T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # [LQ, tile]
+                 precision=prec)  # [LQ, tile]
 
     s = jnp.zeros((lq, tile), jnp.float32)
     for e in range(n_entries):
@@ -212,7 +220,7 @@ def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
 
     dv_ref[0, :, :] = jnp.dot(
         s.T, g, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
 
@@ -224,6 +232,9 @@ def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
     Lq = loc_all.shape[1]
     BH = B * n_head
     LQ_PAD = _round_up(Lq, 8)
+    # bf16 inputs never had the precision HIGHEST would protect — take the
+    # single-pass MXU dots (see _level_bwd_kernel docstring)
+    exact = value.dtype == jnp.float32
 
     g_r = g.reshape(B, Lq, n_head, c).transpose(0, 2, 1, 3).reshape(BH, Lq, c)
     g_r = g_r.astype(jnp.float32)
@@ -254,7 +265,8 @@ def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
         E = 4 * P
 
         dv, dwe = pl.pallas_call(
-            functools.partial(_level_bwd_kernel, tile=tile, n_entries=E),
+            functools.partial(_level_bwd_kernel, tile=tile, n_entries=E,
+                              exact=exact),
             grid=(BH, n_tiles),
             in_specs=[
                 pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),

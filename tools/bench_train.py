@@ -5,11 +5,11 @@ images/sec/chip). Prints one JSON line.
 
 Usage: python tools/bench_train.py [batch] [size] [dtype] [msda_impl]
 
-msda_impl: 'auto' (default; resolves to the Pallas separable kernel on
-TPU — the impl the production Trainer uses, trainer.py:158-164) or 'xla'.
-Measured 2026-08-17 bs=8 bf16: pallas_sep 44.1 img/s vs xla 28.8 (the tool
-previously defaulted to 'xla', which caused round-2's phantom 'tunnel
-drift': round-1's 43.7 was the Pallas graph).
+msda_impl: 'fast' (default; bf16 single-pass Pallas separable kernel —
+the production Trainer default, trainer.py:158-170), 'auto' (exact
+f32-HIGHEST fwd), or 'xla'. Measured 2026-08-17 bs=8 bf16 same-session:
+fast 62.4 img/s, auto 56.1, xla 28.8 (the tool previously defaulted to
+'xla', which caused round-2's phantom 'tunnel drift').
 """
 
 import json
@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def main(batch=8, size="m", dtype=None, msda_impl="auto"):
+def main(batch=8, size="m", dtype=None, msda_impl="fast"):
     import jax
     import jax.numpy as jnp
 
@@ -89,5 +89,5 @@ if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     s = sys.argv[2] if len(sys.argv) > 2 else "m"
     dt = sys.argv[3] if len(sys.argv) > 3 else None
-    impl = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    impl = sys.argv[4] if len(sys.argv) > 4 else "fast"
     print(json.dumps(main(b, s, dt, impl)))
