@@ -210,6 +210,13 @@ def resolve_impl(impl: str = "auto") -> str:
         except Exception:
             return "xla"
     if impl != "auto":
+        # strict: a silent fallback to the (2x slower in training) XLA path on
+        # a typo'd name already produced one phantom perf regression
+        # (round-2's "tunnel drift", which was really msda_impl='xla')
+        allowed = ("xla", "pallas", "pallas_sep", "pallas_sep_fast", "onehot")
+        if impl not in allowed:
+            raise ValueError(f"unknown msda impl {impl!r}; expected one of "
+                             f"{('auto', 'serve', 'fast') + allowed}")
         return impl
     try:
         return "pallas_sep" if jax.devices()[0].platform == "tpu" else "xla"

@@ -224,6 +224,93 @@ def _level_bwd_kernel(idx_ref, w_ref, g_ref, v_ref, dv_ref, dwe_ref, *,
     )
 
 
+def _level_bwd_compare(value_l, loc, attn, g_r, H, W, P, exact, out_dtypes):
+    """One level of the compare-accumulate backward: runs the Pallas bwd
+    kernel and chains folded-weight grads to (dvalue, dloc, dattn) parts.
+    value_l [B, HW, h, c]; loc [B, Lq, h, P, 2]; attn [B, Lq, h, P];
+    g_r [BH, LQ_PAD, c] f32 (query grads, padded)."""
+    B, HW, n_head, c = value_l.shape
+    Lq = loc.shape[1]
+    BH = B * n_head
+    LQ_PAD = g_r.shape[1]
+
+    idx, cw = _corner_idx_weights(loc, attn, H, W)
+    if LQ_PAD != Lq:
+        idx = jnp.pad(idx, ((0, 0), (0, LQ_PAD - Lq), (0, 0)), constant_values=-1)
+        cw = jnp.pad(cw, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
+
+    v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, HW, c).astype(jnp.float32)
+    tile = _pick_tile(HW)
+    HW_pad = _round_up(HW, tile)
+    if HW_pad != HW:
+        v_l = jnp.pad(v_l, ((0, 0), (0, HW_pad - HW), (0, 0)))
+    n_tiles = HW_pad // tile
+    E = 4 * P
+
+    dv, dwe = pl.pallas_call(
+        functools.partial(_level_bwd_kernel, tile=tile, n_entries=E,
+                          exact=exact),
+        grid=(BH, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LQ_PAD, c), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, HW_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((BH, LQ_PAD, E), jnp.float32),
+        ),
+    )(idx, cw, g_r, v_l)
+
+    dv = dv[:, :HW].reshape(B, n_head, HW, c).transpose(0, 2, 1, 3)
+
+    # chain rule from folded-weight grads to (loc, attn). Entry layout is
+    # P-major (fwd flattens [..., P, 4] corner-last): [B, Lq, h, P, 4]
+    dwe = dwe[:, :Lq].reshape(B, n_head, Lq, P, 4).transpose(0, 2, 1, 3, 4)
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(jnp.float32)
+    ty = (y - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def valid(xi, yi):
+        return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(jnp.float32)
+
+    v00 = valid(x0i, y0i)
+    v01 = valid(x0i + 1, y0i)
+    v10 = valid(x0i, y0i + 1)
+    v11 = valid(x0i + 1, y0i + 1)
+    b00 = (1 - tx) * (1 - ty) * v00
+    b01 = tx * (1 - ty) * v01
+    b10 = (1 - tx) * ty * v10
+    b11 = tx * ty * v11
+
+    d00, d01, d10, d11 = (dwe[..., 0], dwe[..., 1], dwe[..., 2], dwe[..., 3])
+    a = attn.astype(jnp.float32)
+    dattn = d00 * b00 + d01 * b01 + d10 * b10 + d11 * b11
+    dtx = a * (-d00 * (1 - ty) * v00 + d01 * (1 - ty) * v01
+               - d10 * ty * v10 + d11 * ty * v11)
+    dty = a * (-d00 * (1 - tx) * v00 - d01 * tx * v01
+               + d10 * (1 - tx) * v10 + d11 * tx * v11)
+    dloc = jnp.stack([dtx * W, dty * H], axis=-1)
+    v_dtype, l_dtype, a_dtype = out_dtypes
+    return dv.astype(v_dtype), dloc.astype(l_dtype), dattn.astype(a_dtype)
+
+
 def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
                           num_points_list, g):
     """Returns (dvalue, dloc, dattn) — all chain-rule scalars computed in XLA
@@ -241,6 +328,7 @@ def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
     if LQ_PAD != Lq:
         g_r = jnp.pad(g_r, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
 
+    out_dtypes = (value.dtype, loc_all.dtype, attn_all.dtype)
     dvalue_parts = []
     dloc_parts = []
     dattn_parts = []
@@ -250,84 +338,11 @@ def _msda_pallas_bwd_impl(value, spatial_shapes, loc_all, attn_all,
         value_l = jax.lax.slice_in_dim(value, v_off, v_off + HW, axis=1)
         loc = jax.lax.slice_in_dim(loc_all, p_off, p_off + P, axis=3)
         attn = jax.lax.slice_in_dim(attn_all, p_off, p_off + P, axis=3)
-
-        idx, cw = _corner_idx_weights(loc, attn, H, W)
-        if LQ_PAD != Lq:
-            idx = jnp.pad(idx, ((0, 0), (0, LQ_PAD - Lq), (0, 0)), constant_values=-1)
-            cw = jnp.pad(cw, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
-
-        v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, HW, c).astype(jnp.float32)
-        tile = _pick_tile(HW)
-        HW_pad = _round_up(HW, tile)
-        if HW_pad != HW:
-            v_l = jnp.pad(v_l, ((0, 0), (0, HW_pad - HW), (0, 0)))
-        n_tiles = HW_pad // tile
-        E = 4 * P
-
-        dv, dwe = pl.pallas_call(
-            functools.partial(_level_bwd_kernel, tile=tile, n_entries=E,
-                              exact=exact),
-            grid=(BH, n_tiles),
-            in_specs=[
-                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LQ_PAD, c), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, tile, c), lambda bh, t: (bh, t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LQ_PAD, E), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((BH, HW_pad, c), jnp.float32),
-                jax.ShapeDtypeStruct((BH, LQ_PAD, E), jnp.float32),
-            ),
-        )(idx, cw, g_r, v_l)
-
-        dv = dv[:, :HW].reshape(B, n_head, HW, c).transpose(0, 2, 1, 3)
-        dvalue_parts.append(dv.astype(value.dtype))
-
-        # chain rule from folded-weight grads to (loc, attn). Entry layout is
-        # P-major (fwd flattens [..., P, 4] corner-last): [B, Lq, h, P, 4]
-        dwe = dwe[:, :Lq].reshape(B, n_head, Lq, P, 4).transpose(0, 2, 1, 3, 4)
-        x = loc[..., 0] * W - 0.5
-        y = loc[..., 1] * H - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        tx = (x - x0).astype(jnp.float32)
-        ty = (y - y0).astype(jnp.float32)
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-
-        def valid(xi, yi):
-            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(jnp.float32)
-
-        v00 = valid(x0i, y0i)
-        v01 = valid(x0i + 1, y0i)
-        v10 = valid(x0i, y0i + 1)
-        v11 = valid(x0i + 1, y0i + 1)
-        b00 = (1 - tx) * (1 - ty) * v00
-        b01 = tx * (1 - ty) * v01
-        b10 = (1 - tx) * ty * v10
-        b11 = tx * ty * v11
-
-        d00, d01, d10, d11 = (dwe[..., 0], dwe[..., 1], dwe[..., 2], dwe[..., 3])
-        a = attn.astype(jnp.float32)
-        dattn = d00 * b00 + d01 * b01 + d10 * b10 + d11 * b11
-        dtx = a * (-d00 * (1 - ty) * v00 + d01 * (1 - ty) * v01
-                   - d10 * ty * v10 + d11 * ty * v11)
-        dty = a * (-d00 * (1 - tx) * v00 - d01 * tx * v01
-                   + d10 * (1 - tx) * v10 + d11 * tx * v11)
-        dloc = jnp.stack([dtx * W, dty * H], axis=-1)
-        dloc_parts.append(dloc.astype(loc_all.dtype))
-        dattn_parts.append(dattn.astype(attn_all.dtype))
-
+        dv, dloc, dattn = _level_bwd_compare(value_l, loc, attn, g_r,
+                                             H, W, P, exact, out_dtypes)
+        dvalue_parts.append(dv)
+        dloc_parts.append(dloc)
+        dattn_parts.append(dattn)
         v_off += HW
         p_off += P
 

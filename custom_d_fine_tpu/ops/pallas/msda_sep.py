@@ -18,7 +18,11 @@ Attention weights and y-border validity fold into Sy; x-border validity into
 Sx (grid_sample zero-padding semantics are separable: corner validity =
 valid_x * valid_y; reference F.grid_sample call at arch/utils.py:229-231).
 
-Backward reuses the v1 handwritten kernel (identical math, same signature).
+Backward is separable too (_sep_bwd_kernel): three MXU contractions per
+(bh, wtile) produce dV, dSy, dSx — replacing the compare-accumulate bwd's
+O(Lq*HW*4P) VPU mask work for large levels — and the chain rule to
+(dloc, dattn) runs as range-safe compare-gathers in XLA. Small levels keep
+the v1 compare-accumulate bwd (K=H starves the MXU below ~1024 positions).
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .msda import _msda_pallas_bwd_impl, _round_up
+from .msda import _level_bwd_compare, _round_up
 
 
 def _sep_factors(loc, attn, H: int, W: int):
@@ -181,6 +185,187 @@ def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
     return out.reshape(B, Lq, n_head * c).astype(value.dtype)
 
 
+def _sep_bwd_kernel(syt_ref, sxt_ref, gt_ref, v_ref,
+                    dv_ref, dsyt_ref, dsxt_ref, *, wtile: int, c: int,
+                    exact: bool):
+    """Separable backward. Same transposed layout as the forward kernel
+    (queries-on-lanes, R = LQ_PAD*P). Per (bh, wtile) three MXU contractions
+    replace the compare-accumulate bwd's O(Lq*HW*4P) VPU masks:
+
+        U^T[(x,c), r] = Sx^T[x, r] * g^T[c, r]            (VPU outer build)
+        dV[y, (x,c)]  = Sy^T[y, :] @ U^T[(x,c), :]^T      (NT matmul, K=R)
+        dSy^T[y, r]  += V[y, (x,c)] @ U^T[(x,c), r]       (NN matmul, K=wc)
+        A^T[(x,c), r] = V^T-contraction (the fwd product)  (K=H)
+        dSx^T[x, r]   = sum_c A^T[(x,c), r] * g^T[c, r]   (VPU reduce)
+
+    Grid (BH, n_wtiles). Blocks: syt [1, H, R_PAD], sxt [1, W_pad, R_PAD]
+    (full; kernel slices its wtile), gt [1, c, R_PAD], v [1, H, wtile*c];
+    outs: dv [1, H, wtile*c] (per tile), dsyt [1, H, R_PAD] (accumulated),
+    dsxt [1, wtile, R_PAD] (per tile)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dsyt_ref[...] = jnp.zeros_like(dsyt_ref)
+
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    syt = syt_ref[0]                                   # [H, R]
+    gt = gt_ref[0]                                     # [c, R]
+    v = v_ref[0]                                       # [H, wtile*c]
+    sx_t = sxt_ref[0, pl.ds(t * wtile, wtile), :]      # [wtile, R]
+    R = syt.shape[-1]
+
+    ut = (sx_t[:, None, :] * gt[None, :, :]).reshape(wtile * c, R)
+    dv_ref[0, :, :] = jax.lax.dot_general(
+        syt, ut, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)   # [H, wtile*c]
+    dsyt_ref[0, :, :] += jnp.dot(
+        v, ut, preferred_element_type=jnp.float32, precision=prec)  # [H, R]
+
+    at = jax.lax.dot_general(
+        v, syt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)   # [wtile*c, R]
+    a3 = at.reshape(wtile, c, R)
+    dsxt_ref[0, :, :] = jnp.sum(a3 * gt[None, :, :], axis=1)  # [wtile, R]
+
+
+def _level_bwd_sep(value_l, loc, attn, g_r, H, W, P, exact, out_dtypes):
+    """One level of the separable backward: kernel for dV/dSy/dSx, then the
+    XLA chain rule to (dloc, dattn) via range-safe compare-gathers (an
+    out-of-range corner never matches the iota -> grad 0, the zero-padding
+    border rule — identical semantics to _sep_factors)."""
+    B, HW, n_head, c = value_l.shape
+    Lq = loc.shape[1]
+    BH = B * n_head
+    LQ_PAD = g_r.shape[1]
+
+    sy, sx = _sep_factors(loc, attn, H, W)  # [BH, Lq, P, H/W] f32
+    if LQ_PAD != Lq:
+        pad = ((0, 0), (0, LQ_PAD - Lq), (0, 0), (0, 0))
+        sy = jnp.pad(sy, pad)
+        sx = jnp.pad(sx, pad)
+    R = LQ_PAD * P
+    R_PAD = _round_up(R, 128)
+
+    syt = sy.transpose(0, 3, 1, 2).reshape(BH, H, R)
+    sxt = sx.transpose(0, 3, 1, 2).reshape(BH, W, R)
+    g_rep = jnp.broadcast_to(g_r[:, :, None, :], (BH, LQ_PAD, P, c))
+    gt = jnp.swapaxes(g_rep.reshape(BH, R, c), 1, 2)  # [BH, c, R]
+    if R_PAD != R:
+        syt = jnp.pad(syt, ((0, 0), (0, 0), (0, R_PAD - R)))
+        sxt = jnp.pad(sxt, ((0, 0), (0, 0), (0, R_PAD - R)))
+        gt = jnp.pad(gt, ((0, 0), (0, 0), (0, R_PAD - R)))
+
+    wtile = max(1, min(W, 256 // c))
+    W_pad = _round_up(W, wtile)
+    n_t = W_pad // wtile
+    if W_pad != W:
+        sxt = jnp.pad(sxt, ((0, 0), (0, W_pad - W), (0, 0)))
+    v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, H, W, c).astype(jnp.float32)
+    if W_pad != W:
+        v_l = jnp.pad(v_l, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
+    v_l = v_l.reshape(BH, H, W_pad * c)
+
+    dv, dsyt, dsxt = pl.pallas_call(
+        functools.partial(_sep_bwd_kernel, wtile=wtile, c=c, exact=exact),
+        grid=(BH, n_t),
+        in_specs=[
+            pl.BlockSpec((1, H, R_PAD), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W_pad, R_PAD), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, R_PAD), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, wtile * c), lambda bh, t: (bh, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, wtile * c), lambda bh, t: (bh, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, R_PAD), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wtile, R_PAD), lambda bh, t: (bh, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, H, W_pad * c), jnp.float32),
+            jax.ShapeDtypeStruct((BH, H, R_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((BH, W_pad, R_PAD), jnp.float32),
+        ),
+    )(syt, sxt, gt, v_l)
+
+    dv = dv.reshape(BH, H, W_pad, c)[:, :, :W]
+    dv = dv.reshape(B, n_head, HW, c).transpose(0, 2, 1, 3)
+
+    def to_blhp(d, n):  # [BH, n, R_PAD] -> [B, Lq, h, P, n]
+        d = d[:, :, :R].reshape(BH, n, LQ_PAD, P).transpose(0, 2, 3, 1)
+        return d[:, :Lq].reshape(B, n_head, Lq, P, n).transpose(0, 2, 1, 3, 4)
+
+    dsy = to_blhp(dsyt, H)            # [B, Lq, h, P, H]
+    dsx = to_blhp(dsxt, W_pad)[..., :W]
+
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0i = jnp.floor(x).astype(jnp.int32)
+    y0i = jnp.floor(y).astype(jnp.int32)
+    tx = (x - jnp.floor(x)).astype(jnp.float32)
+    ty = (y - jnp.floor(y)).astype(jnp.float32)
+    a = attn.astype(jnp.float32)
+
+    ih = jnp.arange(H, dtype=jnp.int32)
+    iw = jnp.arange(W, dtype=jnp.int32)
+    dA0 = jnp.sum(jnp.where(ih == y0i[..., None], dsy, 0.0), -1)
+    dA1 = jnp.sum(jnp.where(ih == y0i[..., None] + 1, dsy, 0.0), -1)
+    dB0 = jnp.sum(jnp.where(iw == x0i[..., None], dsx, 0.0), -1)
+    dB1 = jnp.sum(jnp.where(iw == x0i[..., None] + 1, dsx, 0.0), -1)
+
+    dattn = (1.0 - ty) * dA0 + ty * dA1  # attn folded into Sy only
+    dty = a * (dA1 - dA0)
+    dtx = dB1 - dB0                      # Sy (incl. attn) is dSx's upstream
+    dloc = jnp.stack([dtx * W, dty * H], axis=-1)
+    v_dtype, l_dtype, a_dtype = out_dtypes
+    return dv.astype(v_dtype), dloc.astype(l_dtype), dattn.astype(a_dtype)
+
+
+# below this the compare-accumulate bwd kernel wins (K=H starves the MXU)
+_SEP_BWD_MIN_HW = 1024
+
+
+def _msda_sep_bwd_impl(value, spatial_shapes, loc_all, attn_all,
+                       num_points_list, g):
+    B, Len_v, n_head, c = value.shape
+    Lq = loc_all.shape[1]
+    BH = B * n_head
+    LQ_PAD = _round_up(Lq, 8)
+    exact = value.dtype == jnp.float32
+
+    g_r = g.reshape(B, Lq, n_head, c).transpose(0, 2, 1, 3).reshape(BH, Lq, c)
+    g_r = g_r.astype(jnp.float32)
+    if LQ_PAD != Lq:
+        g_r = jnp.pad(g_r, ((0, 0), (0, LQ_PAD - Lq), (0, 0)))
+
+    out_dtypes = (value.dtype, loc_all.dtype, attn_all.dtype)
+    dvalue_parts, dloc_parts, dattn_parts = [], [], []
+    v_off = p_off = 0
+    for (H, W), P in zip(spatial_shapes, num_points_list):
+        HW = H * W
+        value_l = jax.lax.slice_in_dim(value, v_off, v_off + HW, axis=1)
+        loc = jax.lax.slice_in_dim(loc_all, p_off, p_off + P, axis=3)
+        attn = jax.lax.slice_in_dim(attn_all, p_off, p_off + P, axis=3)
+        level_bwd = _level_bwd_sep if HW >= _SEP_BWD_MIN_HW else _level_bwd_compare
+        dv, dloc, dattn = level_bwd(value_l, loc, attn, g_r, H, W, P, exact,
+                                    out_dtypes)
+        dvalue_parts.append(dv)
+        dloc_parts.append(dloc)
+        dattn_parts.append(dattn)
+        v_off += HW
+        p_off += P
+
+    return (jnp.concatenate(dvalue_parts, axis=1),
+            jnp.concatenate(dloc_parts, axis=3),
+            jnp.concatenate(dattn_parts, axis=3))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
 def _msda_sep(value, spatial_shapes, sampling_locations, attention_weights,
               num_points_list, fast):
@@ -196,8 +381,8 @@ def _fwd(value, spatial_shapes, loc, attn, num_points_list, fast):
 
 def _bwd(spatial_shapes, num_points_list, fast, res, g):
     value, loc, attn = res
-    return _msda_pallas_bwd_impl(value, spatial_shapes, loc, attn,
-                                 num_points_list, g)
+    return _msda_sep_bwd_impl(value, spatial_shapes, loc, attn,
+                              num_points_list, g)
 
 
 _msda_sep.defvjp(_fwd, _bwd)

@@ -33,24 +33,26 @@ def matching_cost(
     pb = pred_boxes.astype(f32)
     tb = tgt_boxes.astype(f32)
 
+    # class prob at each gt column, [B, Q, G]. One-hot MXU contraction instead
+    # of take_along_axis: the row-gather lowers to a ~3 ms fusion PER OUTPUT
+    # SET on TPU (6 sets = 17.5 ms/step, profile 2026-08-17) while the matmul
+    # is microseconds. Exact: each output picks a single element, and HIGHEST
+    # keeps full-f32 MXU passes.
+    num_classes = logits.shape[-1]
+    lbl = jnp.clip(tgt_labels, 0, num_classes - 1)
+    oh = jax.nn.one_hot(lbl, num_classes, dtype=f32)  # [B, G, C]
+
+    def pick(prob):
+        return jnp.einsum("bqc,bgc->bqg", prob, oh,
+                          precision=jax.lax.Precision.HIGHEST)
+
     if cfg.use_focal_loss:
-        prob = jax.nn.sigmoid(logits)  # [B, Q, C]
-        # prob at target class per gt column: [B, Q, G]
-        num_classes = logits.shape[-1]
-        lbl = jnp.clip(tgt_labels, 0, num_classes - 1)
-        p = jnp.take_along_axis(
-            prob, jnp.broadcast_to(lbl[:, None, :], (prob.shape[0], prob.shape[1], lbl.shape[1])),
-            axis=2,
-        )
+        p = pick(jax.nn.sigmoid(logits))
         neg_cost = (1 - cfg.alpha) * (p ** cfg.gamma) * (-jnp.log(1 - p + 1e-8))
         pos_cost = cfg.alpha * ((1 - p) ** cfg.gamma) * (-jnp.log(p + 1e-8))
         cost_class = pos_cost - neg_cost
     else:
-        prob = jax.nn.softmax(logits, axis=-1)
-        lbl = jnp.clip(tgt_labels, 0, logits.shape[-1] - 1)
-        cost_class = -jnp.take_along_axis(
-            prob, jnp.broadcast_to(lbl[:, None, :], prob.shape[:2] + (lbl.shape[1],)), axis=2
-        )
+        cost_class = -pick(jax.nn.softmax(logits, axis=-1))
 
     cost_bbox = jnp.abs(pb[:, :, None, :] - tb[:, None, :, :]).sum(-1)  # L1 [B,Q,G]
     cost_giou = -generalized_box_iou_pairwise(box_cxcywh_to_xyxy(pb), box_cxcywh_to_xyxy(tb))

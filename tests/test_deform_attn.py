@@ -225,6 +225,39 @@ def test_pallas_sep_large_level_branch_interpret():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_sep_backward_large_level_matches_xla_grads():
+    """Grads through the separable BWD kernel branch (HW >= _SEP_BWD_MIN_HW)
+    vs jax.grad of the gather reference, incl. border/out-of-range points."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas import msda_sep
+
+    rng = np.random.default_rng(11)
+    B, Lq, nh, c = 2, 5, 2, 8
+    shapes = [(40, 40), (3, 4)]  # 1600 -> separable bwd; 12 -> compare bwd
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    assert shapes[0][0] * shapes[0][1] >= msda_sep._SEP_BWD_MIN_HW
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.15, 1.15, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, Lq, nh * c)), jnp.float32)
+
+    def f_sep(v, l, a):
+        return (msda_sep.ms_deform_attn_sep(v, shapes, l, a, points) * cot).sum()
+
+    def f_xla(v, l, a):
+        return (ms_deform_attn_xla(v, shapes, l, a, points) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(f_sep, argnums=(0, 1, 2))(value, loc, w)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
+    for name, a, b in zip(("dvalue", "dloc", "dattn"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+
+
 def test_bwd_pick_tile_contract():
     """_pick_tile must return a multiple of 128 within cap that never pads
     worse than the old min(round_up(HW,128), 1024) policy, and hits the two

@@ -4,7 +4,7 @@ Runs N train steps inside one jax.profiler.trace (host fetch at the end,
 per the axon timing protocol in CLAUDE.md), then prints the top-K XLA ops
 by total device time / N, with a rough category split.
 
-Usage: python tools/profile_train.py [batch] [size] [dtype] [N]
+Usage: python tools/profile_train.py [batch] [size] [dtype] [N] [msda_impl] [top_k]
 """
 
 import json
@@ -103,5 +103,6 @@ if __name__ == "__main__":
     s = sys.argv[2] if len(sys.argv) > 2 else "m"
     dt = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    impl = sys.argv[5] if len(sys.argv) > 5 else "auto"
-    main(b, s, dt, n, msda_impl=impl)
+    impl = sys.argv[5] if len(sys.argv) > 5 else "fast"
+    tk = int(sys.argv[6]) if len(sys.argv) > 6 else 40
+    main(b, s, dt, n, top_k=tk, msda_impl=impl)
