@@ -112,9 +112,11 @@ def main():
     }
 
     # Secondary: train throughput (BASELINE.md tracks img/s/chip train+infer).
-    # Same production graph tools/bench_train.py measures; its bs=8 bf16
-    # compile is in the persistent cache, so this adds ~1 min, not a fresh
-    # 640x640 train compile. Failure degrades to the inference-only row.
+    # Same production graph tools/bench_train.py measures, at the throughput-
+    # optimal batch (16 since the separable MSDA bwd kernel: 92.0 img/s vs
+    # 72.2 at bs=8 and 87.3 at bs=32, 2026-08-17); the bf16 compile is in the
+    # persistent cache, so this adds ~1 min, not a fresh 640x640 train
+    # compile. Failure degrades to the inference-only row.
     import os
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
@@ -123,8 +125,8 @@ def main():
                 "bench_train", "/root/repo/tools/bench_train.py")
             bt = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(bt)
-            tr = bt.main(8, "m", "bfloat16")
-            row["train_img_s_bs8_bf16"] = tr["value"]
+            tr = bt.main(16, "m", "bfloat16")
+            row["train_img_s_bs16_bf16"] = tr["value"]
             row["train_ms_per_step"] = tr["ms_per_step"]
         except Exception as e:  # noqa: BLE001 — keep the inference row alive
             import sys

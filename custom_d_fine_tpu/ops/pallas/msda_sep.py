@@ -376,6 +376,10 @@ def _msda_sep(value, spatial_shapes, sampling_locations, attention_weights,
 def _fwd(value, spatial_shapes, loc, attn, num_points_list, fast):
     out = _msda_sep_fwd_impl(value, spatial_shapes, loc, attn, num_points_list,
                              fast=fast)
+    # NOTE: saving loc/attn residuals flattened to [B, Lq, -1] (to dodge the
+    # badly-tiled 5-D layouts seen as ~12 ms/step of copy-starts) measured
+    # NEUTRAL at bs=16 (92.06 -> 91.99 img/s, 2026-08-17): those copies are
+    # async and fully overlapped. Keep the plain residuals.
     return out, (value, loc, attn)
 
 

@@ -66,6 +66,9 @@ def main(batch=8, size="m", dtype=None, msda_impl="fast"):
     t0 = time.perf_counter()
     for i in range(N):
         state, m = step_fn(state, batch_data, jax.random.PRNGKey(i))
+    t_dispatch = time.perf_counter() - t0  # dispatch-only wall: no fetch, and
+    # block_until_ready doesn't block on this runtime — if this approaches dt,
+    # the HOST dispatch path (1 core, big pytrees) is the throughput ceiling
     loss = float(m["total_loss"])  # host fetch = real sync on this runtime
     dt = time.perf_counter() - t0
     from custom_d_fine_tpu.utils.profiling import device_memory_stats
@@ -76,6 +79,7 @@ def main(batch=8, size="m", dtype=None, msda_impl="fast"):
         "value": round(B * N / dt, 2),
         "unit": "img/s",
         "ms_per_step": round(dt / N * 1000, 1),
+        "dispatch_ms_per_step": round(t_dispatch / N * 1000, 1),
         "batch": B,
         "msda_impl": resolve_impl(msda_impl),
         "loss": round(loss, 3),
