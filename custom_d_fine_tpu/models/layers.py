@@ -124,6 +124,73 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+class _FlatBNStats(nn.Module):
+    """Param/stat container for FlatBatchNorm, named "bn" so the variable tree
+    ({...}/norm/bn/{scale,bias} + batch_stats mean/var) is byte-identical to
+    the nn.BatchNorm path — checkpoints, converters and init RNG unchanged."""
+
+    use_running: bool
+    momentum: float
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (C,))
+        if self.use_running:
+            mu, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
+            # E[x^2] - E[x]^2, matching flax _compute_stats (biased, like the
+            # normalization var; flax also feeds it to the running var)
+            mu2 = jnp.mean(jax.lax.square(xf), axis=tuple(range(x.ndim - 1)))
+            var = jnp.maximum(mu2 - jax.lax.square(mu), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mu
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        return mu, mul, bias
+
+
+class FlatBatchNorm(nn.Module):
+    """BatchNorm whose normalization is applied on a FLAT [B, H, W*C] view.
+
+    Why: stem tensors have C=24/12 — as the minor (lane) dim that wastes 81%
+    of every 128-lane VPU op, and the stem's elementwise fwd+bwd fusions
+    profiled at ~28 ms/step of a 170 ms D-FINE-m bs=16 train step. On the
+    flat view the minor dim is W*C (thousands), so XLA tiles elementwise work
+    (and the ReLU masks / LAB reduces of the backward) at full lane width.
+    Per-channel vectors are tiled to [W*C] rows. Parameter tree identical to
+    BatchNorm (see _FlatBNStats). Same-session A/B 2026-08-17: see CLAUDE.md.
+    """
+
+    frozen: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x [B, H, W, C] -> FLAT normalized [B, H, W*C]; the caller keeps
+        downstream elementwise work (relu/LAB/pad/maxpool) on the flat view
+        and reshapes back to NHWC only at the next conv boundary."""
+        B, H, W, C = x.shape
+        use_running = (not train) or self.frozen
+        mu, mul, bias = _FlatBNStats(use_running, self.momentum, self.epsilon,
+                                     name="bn")(x)
+        dt = x.dtype
+        xf = x.reshape(B, H, W * C)
+        # same association as flax ((x - mean) * mul + bias) for parity
+        return ((xf - jnp.tile(mu, W).astype(dt)) * jnp.tile(mul, W).astype(dt)
+                + jnp.tile(bias, W).astype(dt))
+
+
 class LearnableAffineBlock(nn.Module):
     """Scalar scale*x + bias (reference hgnetv2.py:25-32)."""
 
@@ -152,6 +219,8 @@ class ConvBNAct(nn.Module):
     use_act: bool = True
     use_lab: bool = False
     frozen_norm: bool = False
+    flat_act: bool = False  # True => BN/relu/LAB on a flat [B,H,W*C] view and
+    # RETURN the flat tensor (full-lane tiling for small C; see FlatBatchNorm)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -166,7 +235,11 @@ class ConvBNAct(nn.Module):
             padding=pad, groups=self.groups, use_bias=False, dtype=self.dtype,
             name="conv", prefer_dot=not train,
         )(x)
-        x = BatchNorm(frozen=self.frozen_norm, dtype=self.dtype, name="norm")(x, train=train)
+        if self.flat_act:
+            x = FlatBatchNorm(frozen=self.frozen_norm, dtype=self.dtype,
+                              name="norm")(x, train=train)  # [B, H, W*C]
+        else:
+            x = BatchNorm(frozen=self.frozen_norm, dtype=self.dtype, name="norm")(x, train=train)
         if self.use_act:
             x = jax.nn.relu(x)
             if self.use_lab:
