@@ -50,3 +50,46 @@ def test_arch_table_channel_consistency():
         assert stages[0][0] == cfg["stem_channels"][2]
         for prev, cur in zip(stages, stages[1:]):
             assert cur[0] == prev[2], f"{name}: stage in_ch chain broken"
+
+
+def test_flat_batchnorm_matches_nn_batchnorm_in_train_mode():
+    """FlatBatchNorm (the stem's lane-packed BN) must be numerically identical
+    to the nn.BatchNorm path in BOTH modes: same normalized output and the
+    same running-stat update, with a byte-identical variable tree."""
+    import numpy as np
+
+    from custom_d_fine_tpu.models.layers import BatchNorm, FlatBatchNorm
+
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.normal(1.5, 2.0, (2, 5, 7, 12)), jnp.float32)
+    B, H, W, C = x.shape
+
+    ref = BatchNorm()
+    flat = FlatBatchNorm()
+    vref = ref.init(jax.random.PRNGKey(0), x, train=True)
+    vflat = flat.init(jax.random.PRNGKey(0), x, train=True)
+    # identical variable tree (paths AND values) => checkpoint compatible
+    assert jax.tree_util.tree_structure(vref) == jax.tree_util.tree_structure(vflat)
+    for a, b in zip(jax.tree_util.tree_leaves(vref), jax.tree_util.tree_leaves(vflat)):
+        assert jnp.array_equal(a, b)
+
+    # give scale/bias/running stats non-trivial values
+    params = {"bn": {"scale": jnp.asarray(rng.uniform(0.5, 2.0, (C,)), jnp.float32),
+                     "bias": jnp.asarray(rng.normal(0, 1, (C,)), jnp.float32)}}
+    stats = {"bn": {"mean": jnp.asarray(rng.normal(0, 1, (C,)), jnp.float32),
+                    "var": jnp.asarray(rng.uniform(0.5, 2.0, (C,)), jnp.float32)}}
+    v = {"params": params, "batch_stats": stats}
+
+    # train mode: output + updated running stats
+    yr, mr = jax.jit(lambda v, x: ref.apply(v, x, train=True, mutable=["batch_stats"]))(v, x)
+    yf, mf = jax.jit(lambda v, x: flat.apply(v, x, train=True, mutable=["batch_stats"]))(v, x)
+    np.testing.assert_allclose(np.asarray(yf).reshape(B, H, W, C), np.asarray(yr),
+                               rtol=0, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mr), jax.tree_util.tree_leaves(mf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+
+    # eval mode: running-average normalization
+    yr = jax.jit(lambda v, x: ref.apply(v, x, train=False))(v, x)
+    yf = jax.jit(lambda v, x: flat.apply(v, x, train=False))(v, x)
+    np.testing.assert_allclose(np.asarray(yf).reshape(B, H, W, C), np.asarray(yr),
+                               rtol=0, atol=1e-5)
