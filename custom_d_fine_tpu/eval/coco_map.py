@@ -30,6 +30,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import cocomatch_native
+
 IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
@@ -179,6 +181,7 @@ def coco_map(
     iou_type: str = "bbox",
     max_dets: int = 100,
     area_ranges: Optional[Sequence[str]] = ("all", "small", "medium", "large"),
+    native: Optional[bool] = None,
 ) -> Dict[str, float]:
     """preds/gts: per-image dicts with 'labels' [N], 'scores' [N] (preds only),
     'boxes' [N,4] xyxy (iou_type='bbox') or 'masks' [N,H,W] (iou_type='segm'),
@@ -205,9 +208,14 @@ def coco_map(
     ap: Dict[str, List[np.ndarray]] = {r: [] for r in area_ranges}
     rec: Dict[str, List[np.ndarray]] = {r: [] for r in area_ranges}
 
+    if native is None:
+        native = cocomatch_native.available()
+    range_bounds = [AREA_RANGES[r] for r in area_ranges]
+
     for cls in sorted(classes):
-        per_range = {r: {"scores": [], "tp": [], "ig": [], "n_gt": 0}
-                     for r in area_ranges}
+        # per-image glue + IoU ONCE per (image, class); matching over ranges x
+        # thresholds runs in the native backend (or the numpy oracle below)
+        img_scores, img_ious, img_ga, img_crowd, img_da = [], [], [], [], []
         for p, g in zip(preds, gts):
             gl = np.asarray(g["labels"]).astype(int)
             pl = np.asarray(p["labels"]).astype(int)
@@ -225,35 +233,45 @@ def coco_map(
             crowd = (np.asarray(g.get("iscrowd"))[g_sel].astype(bool)
                      if g.get("iscrowd") is not None and len(g_sel)
                      else np.zeros(len(g_sel), bool))
-            g_areas = _areas(g_items, iou_type)
-            d_areas = _areas(p_items, iou_type)
-            # IoU once per (image, class); ranges only permute GT columns
-            # (crowd IoA semantics are range-independent)
-            ious_base = iou_fn(p_items, g_items, crowd)
+            img_scores.append(ps)
+            img_ga.append(_areas(g_items, iou_type))
+            img_da.append(_areas(p_items, iou_type))
+            img_crowd.append(crowd)
+            # crowd IoA semantics are range-independent
+            img_ious.append(iou_fn(p_items, g_items, crowd))
 
-            for rname in area_ranges:
-                lo, hi = AREA_RANGES[rname]
+        scores = (np.concatenate(img_scores) if img_scores
+                  else np.zeros((0,)))
+        if native:
+            tp_all, ig_all, ngt = cocomatch_native.match_class(
+                img_ious, img_ga, img_crowd, img_da,
+                IOU_THRESHOLDS, range_bounds)
+            for ri, rname in enumerate(area_ranges):
+                a, r = _ap_from_matches(scores, tp_all[ri], ig_all[ri],
+                                        int(ngt[ri]))
+                ap[rname].append(a)
+                rec[rname].append(r)
+            continue
+
+        for ri, rname in enumerate(area_ranges):
+            lo, hi = range_bounds[ri]
+            tp_l, ig_l, n_gt = [], [], 0
+            for ious_base, g_areas, crowd, d_areas in zip(
+                    img_ious, img_ga, img_crowd, img_da):
                 g_ig = crowd | (g_areas < lo) | (g_areas > hi)
                 # COCOeval sorts GTs ignored-last
                 g_order = np.argsort(g_ig, kind="mergesort")
                 d_oor = (d_areas < lo) | (d_areas > hi)
                 tp_i, ig_i = _match_image(
                     ious_base[:, g_order], g_ig[g_order], crowd[g_order], d_oor)
-                st = per_range[rname]
-                st["scores"].append(ps)
-                st["tp"].append(tp_i)
-                st["ig"].append(ig_i)
-                st["n_gt"] += int((~g_ig).sum())
-
-        for rname in area_ranges:
-            st = per_range[rname]
-            scores = (np.concatenate(st["scores"]) if st["scores"]
-                      else np.zeros((0,)))
-            tp = (np.concatenate(st["tp"], axis=1) if st["tp"]
+                tp_l.append(tp_i)
+                ig_l.append(ig_i)
+                n_gt += int((~g_ig).sum())
+            tp = (np.concatenate(tp_l, axis=1) if tp_l
                   else np.zeros((T, 0), bool))
-            ig = (np.concatenate(st["ig"], axis=1) if st["ig"]
+            ig = (np.concatenate(ig_l, axis=1) if ig_l
                   else np.zeros((T, 0), bool))
-            a, r = _ap_from_matches(scores, tp, ig, st["n_gt"])
+            a, r = _ap_from_matches(scores, tp, ig, n_gt)
             ap[rname].append(a)
             rec[rname].append(r)
 
