@@ -26,6 +26,28 @@ from ..utils.logging import logger
 from .dataset import DFineDataset
 
 
+def _jax_process_info():
+    """(process_count, process_index) WITHOUT forcing accelerator-backend
+    initialization: jax.process_count() initializes the platform, and a
+    host-only tool iterating the loader (bench_loader, ETL) must not block
+    on a TPU tunnel. If jax was never imported or no backend is up yet, this
+    is a single-process host context by construction — the Trainer and the
+    multi-host path initialize jax long before building epoch iterators."""
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return 1, 0
+    try:
+        from jax._src import xla_bridge as xb
+
+        if not xb._backends:  # nothing initialized: don't trigger it
+            return 1, 0
+    except Exception:
+        pass  # private layout changed: fall through to the public API
+    return jax.process_count(), jax.process_index()
+
+
 def read_split_csv(path: Path) -> List[str]:
     names = []
     for line in Path(path).read_text().splitlines():
@@ -216,10 +238,7 @@ class Loader:
             np.random.default_rng(self.seed + epoch).shuffle(order)
 
         if process_count is None or process_index is None:
-            import jax
-
-            process_count = jax.process_count()
-            process_index = jax.process_index()
+            process_count, process_index = _jax_process_info()
         if process_count > 1:
             if shuffle and len(order) % process_count:
                 # wrap-pad so every process runs the same number of steps
