@@ -91,3 +91,16 @@ def test_resolve_experiment_dir(tmp_path):
     # no siblings: unchanged
     assert resolve_experiment_dir(str(base / "other_2026-08-17")) == str(
         base / "other_2026-08-17")
+
+
+def test_bench_loader_tool_smoke(monkeypatch):
+    """tools/bench_loader.py end-to-end at tiny scale: dataset synthesis,
+    all three loader modes, one JSON row — and it must never initialize an
+    accelerator backend (the loader resolves process info lazily)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools import bench_loader
+
+    row = bench_loader.main(n_images=6, batch=2, workers=2, size_px=320)
+    assert row["value"] > 0 and row["val_img_s"] > 0
+    assert row["train_mosaic50_img_s"] > 0
