@@ -239,6 +239,14 @@ def _level_bwd_sep(value_l, loc, attn, g_r, H, W, P, exact, out_dtypes):
     BH = B * n_head
     LQ_PAD = g_r.shape[1]
 
+    # AMP (bf16 value) backward: bf16 kernel operands — the dots run
+    # single-pass either way (precision=None lowers f32 operands to one
+    # bf16 MXU pass too), but bf16 operands halve the VMEM footprint and
+    # bandwidth of the three contractions and double the W-tile.
+    # Accumulation and all outputs stay f32. Same accuracy class as the
+    # fast fwd (~1e-3 rel on grads; test_deform_attn.py bounds it).
+    compute_dtype = jnp.float32 if exact else jnp.bfloat16
+
     sy, sx = _sep_factors(loc, attn, H, W)  # [BH, Lq, P, H/W] f32
     if LQ_PAD != Lq:
         pad = ((0, 0), (0, LQ_PAD - Lq), (0, 0), (0, 0))
@@ -247,21 +255,21 @@ def _level_bwd_sep(value_l, loc, attn, g_r, H, W, P, exact, out_dtypes):
     R = LQ_PAD * P
     R_PAD = _round_up(R, 128)
 
-    syt = sy.transpose(0, 3, 1, 2).reshape(BH, H, R)
-    sxt = sx.transpose(0, 3, 1, 2).reshape(BH, W, R)
+    syt = sy.transpose(0, 3, 1, 2).reshape(BH, H, R).astype(compute_dtype)
+    sxt = sx.transpose(0, 3, 1, 2).reshape(BH, W, R).astype(compute_dtype)
     g_rep = jnp.broadcast_to(g_r[:, :, None, :], (BH, LQ_PAD, P, c))
-    gt = jnp.swapaxes(g_rep.reshape(BH, R, c), 1, 2)  # [BH, c, R]
+    gt = jnp.swapaxes(g_rep.reshape(BH, R, c), 1, 2).astype(compute_dtype)
     if R_PAD != R:
         syt = jnp.pad(syt, ((0, 0), (0, 0), (0, R_PAD - R)))
         sxt = jnp.pad(sxt, ((0, 0), (0, 0), (0, R_PAD - R)))
         gt = jnp.pad(gt, ((0, 0), (0, 0), (0, R_PAD - R)))
 
-    wtile = max(1, min(W, 256 // c))
+    wtile = max(1, min(W, (256 if exact else 512) // c))
     W_pad = _round_up(W, wtile)
     n_t = W_pad // wtile
     if W_pad != W:
         sxt = jnp.pad(sxt, ((0, 0), (0, W_pad - W), (0, 0)))
-    v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, H, W, c).astype(jnp.float32)
+    v_l = jnp.swapaxes(value_l, 1, 2).reshape(BH, H, W, c).astype(compute_dtype)
     if W_pad != W:
         v_l = jnp.pad(v_l, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
     v_l = v_l.reshape(BH, H, W_pad * c)

@@ -272,3 +272,41 @@ def test_bwd_pick_tile_contract():
     # production 640^2 levels: 80x80 tiles exactly, 40x40 pads +12% not +28%
     assert _round_up(6400, _pick_tile(6400)) == 6400
     assert _round_up(1600, _pick_tile(1600)) <= 1792
+
+
+def test_pallas_sep_backward_bf16_operand_path():
+    """AMP backward (bf16 value => exact=False): the separable bwd kernel
+    runs with bf16 operands and a doubled W-tile; grads must stay within
+    bf16 accuracy of the f32 gather reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas import msda_sep
+
+    rng = np.random.default_rng(13)
+    B, Lq, nh, c = 2, 5, 2, 8
+    shapes = [(40, 40), (3, 4)]
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.15, 1.15, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, Lq, nh * c)), jnp.float32)
+
+    def f_sep(v, l, a):
+        return (msda_sep.ms_deform_attn_sep(
+            v, shapes, l, a, points, fast=True) * cot).sum()
+
+    def f_xla(v, l, a):
+        return (ms_deform_attn_xla(v, shapes, l, a, points) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(f_sep, argnums=(0, 1, 2))(value.astype(jnp.bfloat16),
+                                                loc, w)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
+    for name, a, b in zip(("dvalue", "dloc", "dattn"), gp, gx):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=0.02,
+                                   err_msg=name)
