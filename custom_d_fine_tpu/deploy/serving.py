@@ -120,3 +120,21 @@ def make_serving_forward(
                                    approx=fast_topk)
 
     return forward
+
+
+def jit_serving_on_mesh(forward, mesh=None, axis: str = "data"):
+    """Fleet serving: jit a serving forward with the image batch sharded
+    over a device mesh (data parallelism over ICI). Weights are closure
+    constants — GSPMD replicates them onto every chip; per-image compute is
+    independent (eval-mode BN uses running stats), so detections equal the
+    single-device graph. Batch size must be a multiple of the mesh size
+    (pad at the caller, e.g. trainer._pad_to_mesh).
+
+    The reference has no multi-GPU inference at all; this is the TPU-native
+    scale-out path for `make bench`-style offline eval on a pod slice.
+    Returns (jitted_fn, mesh)."""
+    from ..parallel.mesh import make_mesh, shard_batch_spec
+
+    mesh = mesh if mesh is not None else make_mesh()
+    spec = shard_batch_spec(mesh, axis)
+    return jax.jit(forward, in_shardings=(spec,)), mesh
