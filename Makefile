@@ -23,6 +23,9 @@ export:
 bench:
 	python -m custom_d_fine_tpu.cli.bench $(CFG_ARG) $(OVERRIDES)
 
+bench_loader:
+	python tools/bench_loader.py
+
 infer:
 	python -m custom_d_fine_tpu.cli.infer $(CFG_ARG) $(OVERRIDES)
 
@@ -44,4 +47,4 @@ test:
 # reference alias (ov_int8 -> the TPU int8 path)
 ov_int8: quantize_int8
 
-.PHONY: main split train export bench infer check_errors test_batching quantize_int8 ov_int8 demo test
+.PHONY: main split train export bench bench_loader infer check_errors test_batching quantize_int8 ov_int8 demo test
