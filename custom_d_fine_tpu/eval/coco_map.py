@@ -60,7 +60,8 @@ def _box_iou(a: np.ndarray, b: np.ndarray,
     inter = wh[..., 0] * wh[..., 1]
     union = area_a[:, None] + area_b[None, :] - inter
     union = np.where(b_crowd[None, :], area_a[:, None], union)
-    return np.where(union > 0, inter / union, 0.0).astype(np.float32)
+    safe = np.maximum(union, 1e-12)  # 0-area pairs select the 0 branch
+    return np.where(union > 0, inter / safe, 0.0).astype(np.float32)
 
 
 def _mask_iou(a: np.ndarray, b: np.ndarray,
@@ -75,7 +76,8 @@ def _mask_iou(a: np.ndarray, b: np.ndarray,
     inter = af @ bf.T
     union = af.sum(1)[:, None] + bf.sum(1)[None, :] - inter
     union = np.where(b_crowd[None, :], af.sum(1)[:, None], union)
-    return np.where(union > 0, inter / union, 0.0).astype(np.float32)
+    safe = np.maximum(union, 1e-12)  # 0-area pairs select the 0 branch
+    return np.where(union > 0, inter / safe, 0.0).astype(np.float32)
 
 
 def _areas(items: np.ndarray, iou_type: str) -> np.ndarray:
