@@ -184,8 +184,10 @@ class FlatBatchNorm(nn.Module):
         use_running = (not train) or self.frozen
         mu, mul, bias = _FlatBNStats(use_running, self.momentum, self.epsilon,
                                      name="bn")(x)
-        dt = x.dtype
-        xf = x.reshape(B, H, W * C)
+        # compute dtype, like nn.BatchNorm(dtype=...): in the bf16 train graph
+        # the conv output is already bf16 so this is the identity cast
+        dt = self.dtype or x.dtype
+        xf = x.reshape(B, H, W * C).astype(dt)
         # same association as flax ((x - mean) * mul + bias) for parity
         return ((xf - jnp.tile(mu, W).astype(dt)) * jnp.tile(mul, W).astype(dt)
                 + jnp.tile(bias, W).astype(dt))
