@@ -39,6 +39,16 @@ def _jax_process_info():
     if jax is None:
         return 1, 0
     try:
+        # a live multi-host coordinator (jax.distributed.initialize) means
+        # real process topology even before the first device op — backend
+        # init is expected there, so the public API is safe
+        from jax._src import distributed
+
+        if distributed.global_state.client is not None:
+            return jax.process_count(), jax.process_index()
+    except Exception:
+        pass
+    try:
         from jax._src import xla_bridge as xb
 
         if not xb._backends:  # nothing initialized: don't trigger it

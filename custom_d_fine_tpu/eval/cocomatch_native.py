@@ -21,7 +21,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libcocomatch.so"
-_lib: Optional[ctypes.CDLL] = None
+_lib = None  # None = not attempted, False = build/load failed, CDLL = loaded
 
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _f32p = ctypes.POINTER(ctypes.c_float)
@@ -31,17 +31,24 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
+    if _lib is False:  # cached build/load failure: don't respawn make per call
+        return None
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / "cocomatch.cpp"
+    stale = (not _LIB_PATH.exists()
+             or _LIB_PATH.stat().st_mtime < src.stat().st_mtime)
+    if stale:  # (re)build so source edits actually take effect
         try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True)
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), _LIB_PATH.name],
+                           check=True, capture_output=True)
         except Exception:
+            _lib = False
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
+        _lib = False
         return None
     lib.coco_match_class.restype = ctypes.c_int
     lib.coco_match_class.argtypes = [

@@ -184,13 +184,15 @@ class FlatBatchNorm(nn.Module):
         use_running = (not train) or self.frozen
         mu, mul, bias = _FlatBNStats(use_running, self.momentum, self.epsilon,
                                      name="bn")(x)
-        # compute dtype, like nn.BatchNorm(dtype=...): in the bf16 train graph
-        # the conv output is already bf16 so this is the identity cast
+        # flax nn.BatchNorm normalizes in f32 (mean/var/scale stay f32, the
+        # subtraction promotes) and casts to `dtype` only at the END — same
+        # here, so the bf16 train graph matches the nn.BatchNorm path too
+        # (torch AMP also keeps BN in f32). Same association as flax:
+        # (x - mean) * mul + bias.
         dt = self.dtype or x.dtype
-        xf = x.reshape(B, H, W * C).astype(dt)
-        # same association as flax ((x - mean) * mul + bias) for parity
-        return ((xf - jnp.tile(mu, W).astype(dt)) * jnp.tile(mul, W).astype(dt)
-                + jnp.tile(bias, W).astype(dt))
+        xf = x.reshape(B, H, W * C).astype(jnp.float32)
+        y = (xf - jnp.tile(mu, W)) * jnp.tile(mul, W) + jnp.tile(bias, W)
+        return y.astype(dt)
 
 
 class LearnableAffineBlock(nn.Module):

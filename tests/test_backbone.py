@@ -93,3 +93,19 @@ def test_flat_batchnorm_matches_nn_batchnorm_in_train_mode():
     yf = jax.jit(lambda v, x: flat.apply(v, x, train=False))(v, x)
     np.testing.assert_allclose(np.asarray(yf).reshape(B, H, W, C), np.asarray(yr),
                                rtol=0, atol=1e-5)
+
+    # bf16 compute dtype (the default TRAIN graph): flax normalizes in f32
+    # and casts only the output — FlatBatchNorm must match that exactly
+    ref16 = BatchNorm(dtype=jnp.bfloat16)
+    flat16 = FlatBatchNorm(dtype=jnp.bfloat16)
+    x16 = x.astype(jnp.bfloat16)
+    yr, mr = jax.jit(lambda v, x: ref16.apply(v, x, train=True,
+                                              mutable=["batch_stats"]))(v, x16)
+    yf, mf = jax.jit(lambda v, x: flat16.apply(v, x, train=True,
+                                               mutable=["batch_stats"]))(v, x16)
+    assert yf.dtype == yr.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(yf, np.float32).reshape(B, H, W, C),
+        np.asarray(yr, np.float32))
+    for a, b in zip(jax.tree_util.tree_leaves(mr), jax.tree_util.tree_leaves(mf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)

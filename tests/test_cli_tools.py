@@ -93,14 +93,26 @@ def test_resolve_experiment_dir(tmp_path):
         base / "other_2026-08-17")
 
 
-def test_bench_loader_tool_smoke(monkeypatch):
+def test_bench_loader_tool_smoke():
     """tools/bench_loader.py end-to-end at tiny scale: dataset synthesis,
     all three loader modes, one JSON row — and it must never initialize an
-    accelerator backend (the loader resolves process info lazily)."""
+    accelerator backend (the loader resolves process info lazily). Runs in
+    a fresh subprocess so the no-backend-init property is actually asserted
+    (this test process already has a backend up)."""
+    import subprocess
     import sys
-    sys.path.insert(0, "/root/repo")
-    from tools import bench_loader
 
-    row = bench_loader.main(n_images=6, batch=2, workers=2, size_px=320)
-    assert row["value"] > 0 and row["val_img_s"] > 0
-    assert row["train_mosaic50_img_s"] > 0
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from tools import bench_loader\n"
+        "row = bench_loader.main(n_images=6, batch=2, workers=2, size_px=320)\n"
+        "assert row['value'] > 0 and row['val_img_s'] > 0\n"
+        "assert row['train_mosaic50_img_s'] > 0\n"
+        "jax = sys.modules.get('jax')\n"
+        "if jax is not None:\n"
+        "    from jax._src import xla_bridge as xb\n"
+        "    assert not xb._backends, 'loader initialized a backend'\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]

@@ -62,11 +62,14 @@ def make_dataset(root: Path, n: int, rng: np.random.Generator,
         (root / f"{split}.csv").write_text("\n".join(names) + "\n")
 
 
-def run_epochs(loader, split: str, epochs: int = 2) -> float:
-    """Sustained img/s over full epochs (first epoch warms OS page cache)."""
+def run_epochs(loader, split: str, epochs: int = 1) -> float:
+    """Sustained img/s: one UNTIMED warmup epoch (OS page cache + thread
+    pool), then `epochs` timed epochs — every mode is measured warm."""
+    for _ in loader.epoch_iterator(split, epoch=0):
+        pass
     n_img = 0
     t0 = time.perf_counter()
-    for e in range(epochs):
+    for e in range(1, epochs + 1):
         for batch in loader.epoch_iterator(split, epoch=e):
             n_img += batch["images"].shape[0]
     return n_img / (time.perf_counter() - t0)
