@@ -4,8 +4,10 @@ Parity target: reference src/d_fine/matcher.py:110-247 (HungarianMatcher).
 TPU redesign: instead of one CPU round-trip per (output set, image), the cost
 matrices for every output set are computed on device as batched [B, Q, G]
 tensors (focal class + L1 + GIoU, reference :150-169), stacked to [S, B, Q, G]
-and solved in ONE host callback (ops/hungarian.py). Invalid (padded) target
-columns are ignored by the host solver via the per-image valid count.
+and solved entirely ON DEVICE by the exact batched JV auction solver
+(ops/lapjv.py:batched_assignment — host callbacks are unavailable on this
+runtime). Invalid (padded) target columns are masked to a high cost and their
+assignments dropped via the per-image valid count.
 """
 
 from __future__ import annotations
