@@ -250,8 +250,10 @@ class Loader:
         if process_count is None or process_index is None:
             process_count, process_index = _jax_process_info()
         if process_count > 1:
-            if shuffle and len(order) % process_count:
+            if split == "train" and len(order) % process_count:
                 # wrap-pad so every process runs the same number of steps
+                # (the jitted global train step is a collective — gate on the
+                # SPLIT, not on shuffle, so shuffle=False stays in lockstep)
                 total = -(-len(order) // process_count) * process_count
                 order = np.concatenate([order, order[: total - len(order)]])
             order = order[process_index::process_count]

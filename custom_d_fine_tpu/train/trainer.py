@@ -163,10 +163,14 @@ class Trainer:
             train_batch=2, dtype=self.dtype,
             # 'fast' = single-MXU-pass bf16 deformable sampling, the AMP-
             # parity choice (the torch reference trains under autocast,
-            # train.py:152-176); set msda_impl: auto in config for exact
-            # f32-HIGHEST interpolation. Measured 2026-08-17: 128.3 vs
-            # 142.5 ms/step on D-FINE-m bs=8.
-            msda_impl=resolve_impl(t.get("msda_impl", "fast")),
+            # train.py:152-176) — but only when the compute dtype IS bf16:
+            # under dtype float32 (the documented full-precision mode) the
+            # default stays exact f32-HIGHEST ('auto'), matching non-AMP
+            # torch. Override with msda_impl in config either way.
+            # Measured 2026-08-17: 128.3 vs 142.5 ms/step on D-FINE-m bs=8.
+            msda_impl=resolve_impl(t.get(
+                "msda_impl",
+                "fast" if self.dtype == jnp.bfloat16 else "auto")),
         )
         if self.model_cfg.backbone.pretrained and not t.get("pretrained_model_path"):
             # ImageNet stage-1 backbone init (reference hgnetv2.py:490-545);
@@ -268,22 +272,23 @@ class Trainer:
         import time as _time
 
         h, w = self.img_size
-        bsz = -(-self.loader.batch_size // self.mesh.size) * self.mesh.size
+        ldc = max(1, self.mesh.size // jax.process_count())
+        bsz = -(-self.loader.batch_size // ldc) * ldc
         G = self.loader.datasets["train"].max_gt
         for d in self._multiscale_deltas:
             t0 = _time.time()
             batch = {
-                "images": jnp.zeros((bsz, h + d, w + d, 3), jnp.float32),
-                "labels": jnp.zeros((bsz, G), jnp.int32),
-                "boxes": jnp.zeros((bsz, G, 4), jnp.float32),
-                "valid": jnp.zeros((bsz, G), bool),
-                "image_valid": jnp.ones((bsz,), bool),
+                "images": np.zeros((bsz, h + d, w + d, 3), np.float32),
+                "labels": np.zeros((bsz, G), np.int32),
+                "boxes": np.zeros((bsz, G, 4), np.float32),
+                "valid": np.zeros((bsz, G), bool),
+                "image_valid": np.ones((bsz,), bool),
             }
             if self.enable_mask_head:
                 md = self.loader.datasets["train"].mask_downsample
-                batch["masks"] = jnp.zeros(
-                    (bsz, G, (h + d) // md, (w + d) // md), jnp.uint8)
-            batch = {k: jax.device_put(v, self.data_spec) for k, v in batch.items()}
+                batch["masks"] = np.zeros(
+                    (bsz, G, (h + d) // md, (w + d) // md), np.uint8)
+            batch = {k: self._put_global(v) for k, v in batch.items()}
             self.train_step.lower(
                 self.state, batch, jax.random.PRNGKey(0)).compile()
             logger.info(f"multiscale precompile {h + d}x{w + d}: "
@@ -307,12 +312,25 @@ class Trainer:
 
     # ------------------------------------------------------------ train loop
 
+    def _put_global(self, arr):
+        """Host-local numpy batch -> globally-sharded device array.
+
+        Single-process: one device_put to the sharding. Multi-process: each
+        host holds only ITS stripe of the global batch, so the global array
+        must be assembled from process-local data — device_put of a local
+        array to a global sharding would wrongly treat it as the full global
+        value (reference counterpart: DDP keeps per-rank batches local,
+        train.py:171-176; here GSPMD sees one global batch)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(self.data_spec, arr)
+        return jax.device_put(arr, self.data_spec)
+
     def _shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         arrays = {k: batch[k] for k in ("images", "labels", "boxes", "valid")}
         if "masks" in batch:
             arrays["masks"] = batch["masks"]
         arrays = self._pad_to_mesh(arrays)
-        return {k: jax.device_put(v, self.data_spec) for k, v in arrays.items()}
+        return {k: self._put_global(v) for k, v in arrays.items()}
 
     def _pad_to_mesh(self, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Pad a tail batch up to a mesh-size multiple instead of dropping it.
@@ -332,7 +350,10 @@ class Trainer:
         exceed torch's by up to mesh-1.
         """
         bsz = arrays["images"].shape[0]
-        pad = -bsz % self.mesh.size
+        # LOCAL pad target: this process's stripe of the mesh (the global
+        # batch assembled from P equal local stripes is then a mesh multiple)
+        ldc = max(1, self.mesh.size // jax.process_count())
+        pad = -bsz % ldc
         image_valid = np.ones((bsz + pad,), bool)
         if pad:
             image_valid[bsz:] = False
@@ -418,17 +439,44 @@ class Trainer:
         visualize = visualize and self.is_main
         preds: List[Dict] = []
         gts: List[Dict] = []
-        for batch in self.loader.epoch_iterator(split, shuffle=False, drop_last=False):
-            B = batch["images"].shape[0]
-            # pad the tail batch to a mesh multiple (padded rows repeat the
-            # last image and are dropped below), shard over the data axis
-            imgs = batch["images"]
-            pad = -B % self.mesh.size
-            if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
-            x = jax.device_put(jnp.asarray(imgs), self.data_spec)
+        # Lockstep eval over the mesh: ONE fixed local launch shape (tail
+        # batches pad by repeating the last image; padded rows are dropped
+        # below) so there is exactly one compiled eval graph, and on a
+        # multi-host slice every process issues the SAME number of collective
+        # launches even though stride shards differ by up to one sample —
+        # processes whose shard ran out launch fillers and drop the results.
+        # (reference: DistributedSampler pads to equal length, dataset.py:562)
+        p_cnt = jax.process_count()
+        ldc = max(1, self.mesh.size // p_cnt)
+        bs = self.loader.batch_size
+        bs_fixed = -(-bs // ldc) * ldc
+        shard_max = -(-len(self.loader.datasets[split]) // p_cnt)
+        n_steps = -(-shard_max // bs)
+        it = iter(self.loader.epoch_iterator(split, shuffle=False,
+                                             drop_last=False))
+        last_imgs = None
+        for _ in range(n_steps):
+            batch = next(it, None)
+            if batch is None:  # filler launch (multi-host lockstep only)
+                if last_imgs is None:
+                    h, w = self.img_size
+                    last_imgs = np.zeros((1, h, w, 3), np.uint8)
+                B, imgs = 0, np.repeat(last_imgs[-1:], bs_fixed, 0)
+            else:
+                B = batch["images"].shape[0]
+                imgs = batch["images"]
+                last_imgs = imgs
+                if B < bs_fixed:
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], bs_fixed - B, 0)], 0)
+            # ONE host->device transfer: device_put the numpy batch straight
+            # to the sharding (jnp.asarray first would commit to device 0 and
+            # add a second resharding copy — ~29 ms/batch on this tunnel)
+            x = self._put_global(imgs)
             dets = self.eval_step(self.state, x)
             dets = {k: np.asarray(v)[:B] for k, v in dets.items()}
+            if B == 0:
+                continue
             H, W = batch["images"].shape[1:3]
             for b in range(B):
                 lb = batch["letterbox"][b]

@@ -107,6 +107,16 @@ def test_loader_process_sharding(small_dataset):
     union = set(orders[0]) | set(orders[1])
     assert len(union) == 7  # every image appears on some process
 
+    # ---- train with shuffle=False: STILL wrap-padded to lockstep length
+    # (the jitted global train step is a collective; the pad gate is on the
+    # SPLIT, not on shuffle)
+    lens = []
+    for p in range(2):
+        it = loader.epoch_iterator("train", shuffle=False, drop_last=False,
+                                   process_index=p, process_count=2)
+        lens.append(sum(b["images"].shape[0] for b in it))
+    assert lens[0] == lens[1] == 4
+
 
 def test_loader_single_process_unchanged(small_dataset):
     loader = Loader(root_path=small_dataset, img_size=(64, 64), batch_size=4,

@@ -42,7 +42,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def make_chain(op, x0, n):
+def make_chain(op, n):
     """Chain op n times with a carry perturbation so XLA can't hoist/dedup."""
     import jax
     import jax.numpy as jnp
@@ -62,7 +62,7 @@ def make_chain(op, x0, n):
 def time_op(op, x, n=400, reps=3):
     import jax.numpy as jnp
 
-    run = make_chain(op, x, n)
+    run = make_chain(op, n)
     out = run(x, jnp.float32(0.0))
     float(out)  # compile + settle
     best = []

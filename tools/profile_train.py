@@ -33,7 +33,7 @@ def categorize(name: str) -> str:
     return "other"
 
 
-def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40, msda_impl="auto"):
+def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40, msda_impl="fast"):
     import jax
     import jax.numpy as jnp
 
