@@ -57,3 +57,24 @@ def test_mesh_sharded_serving_matches_single_device():
     np.testing.assert_allclose(np.asarray(got["boxes"])[:, :10],
                                np.asarray(ref["boxes"])[:, :10],
                                rtol=1e-4, atol=1e-3)
+
+
+def test_build_serving_registry_size_smoke():
+    """The canonical one-call serving builder (bench.py / __graft_entry__ /
+    JaxModel all use it) must assemble and run for a real registry size on
+    CPU: registry config -> build -> deploy reparam -> forward -> top-K."""
+    import jax
+    import jax.numpy as jnp
+
+    from custom_d_fine_tpu.deploy.serving import build_serving
+
+    # 320 not IMG=160: size-n (strides 16/32) must have >= num_queries=300
+    # encoder anchors, exactly like the torch reference's top-k constraint
+    fn, model, variables = build_serving("n", num_classes=7,
+                                         img_size=(320, 320))
+    img = jnp.zeros((1, 320, 320, 3), jnp.uint8)
+    det = jax.jit(fn)(img)
+    assert det["scores"].shape == (1, 300)
+    assert det["boxes"].shape == (1, 300, 4)
+    s = np.asarray(det["scores"])
+    assert np.isfinite(s).all() and (s >= 0).all() and (s <= 1).all()
