@@ -128,7 +128,9 @@ def jit_serving_on_mesh(forward, mesh=None, axis: str = "data"):
     constants — GSPMD replicates them onto every chip; per-image compute is
     independent (eval-mode BN uses running stats), so detections equal the
     single-device graph. Batch size must be a multiple of the mesh size
-    (pad at the caller, e.g. trainer._pad_to_mesh).
+    (pad at the caller, e.g. trainer._pad_to_mesh). On a multi-HOST mesh,
+    pass a global array (jax.make_array_from_process_local_data with each
+    host's stripe — see trainer._put_global), not a host-local one.
 
     The reference has no multi-GPU inference at all; this is the TPU-native
     scale-out path for `make bench`-style offline eval on a pod slice.
