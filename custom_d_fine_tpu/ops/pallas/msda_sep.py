@@ -107,6 +107,46 @@ _SEP_MIN_HW = 4096
 # the 40x40 level also wins over compare-accumulate
 _SEP_MIN_HW_FAST = 1024
 
+# A/B flag (MSDA_FWD_PSUM=1): sum the P sampling points INSIDE the fwd kernel
+# (P-major factor layout + VMEM accumulator) so the HBM output shrinks from
+# [c, LQ_PAD*P] to [c, LQ_PAD] and the XLA epilogue reduce disappears.
+# Interpret-tested equal; default off until the on-device A/B lands.
+import os as _os
+
+_FWD_PSUM = _os.environ.get("MSDA_FWD_PSUM", "0") == "1"
+
+
+def _sep_kernel_psum(syt_ref, sxt_ref, v_ref, out_ref, acc_ref, *,
+                     wtile: int, c: int, lq_pad: int, n_points: int,
+                     n_t: int, fast: bool = False):
+    """P-sum-in-kernel variant of _sep_kernel. Factors arrive P-MAJOR
+    (r = p * LQ_PAD + q), contributions accumulate in a VMEM scratch
+    [c, R_PAD], and the last wtile folds the P point-blocks into
+    out [c, LQ_PAD] — the P-sum the standard variant leaves to XLA."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    At = jax.lax.dot_general(
+        v_ref[0], syt_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=None if fast else jax.lax.Precision.HIGHEST,
+    )  # [wtile*c, R_PAD]
+    R = At.shape[-1]
+    A3 = At.reshape(wtile, c, R)
+    sx = sxt_ref[0, pl.ds(t * wtile, wtile), :]
+    acc_ref[...] += jnp.sum(A3 * sx[:, None, :], axis=0)
+
+    @pl.when(t == n_t - 1)
+    def _():
+        acc = acc_ref[...]
+        s = acc[:, :lq_pad]
+        for p in range(1, n_points):
+            s = s + acc[:, p * lq_pad:(p + 1) * lq_pad]
+        out_ref[0, :, :lq_pad] = s
+
 
 def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
                        num_points_list, fast: bool = False):
@@ -143,9 +183,12 @@ def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
         R_PAD = _round_up(R, 128)
 
         # factors transposed: [BH, H/W, R_PAD] (queries on lanes); XLA fuses
-        # these transposes into the elementwise factor build — no copy
-        syt = sy.transpose(0, 3, 1, 2).reshape(BH, H, R).astype(compute_dtype)
-        sxt = sx.transpose(0, 3, 1, 2).reshape(BH, W, R).astype(compute_dtype)
+        # these transposes into the elementwise factor build — no copy.
+        # P-sum-in-kernel mode uses the P-MAJOR flattening (r = p*LQ_PAD + q)
+        # so the kernel can fold the P point-blocks with static lane slices.
+        tr = (0, 3, 2, 1) if _FWD_PSUM else (0, 3, 1, 2)
+        syt = sy.transpose(*tr).reshape(BH, H, R).astype(compute_dtype)
+        sxt = sx.transpose(*tr).reshape(BH, W, R).astype(compute_dtype)
         if R_PAD != R:
             syt = jnp.pad(syt, ((0, 0), (0, 0), (0, R_PAD - R)))
             sxt = jnp.pad(sxt, ((0, 0), (0, 0), (0, R_PAD - R)))
@@ -161,17 +204,34 @@ def _msda_sep_fwd_impl(value, spatial_shapes, loc_all, attn_all,
             v_l = jnp.pad(v_l, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
         v_l = v_l.reshape(BH, H, W_pad * c)
 
+        in_specs = [
+            pl.BlockSpec((1, H, R_PAD), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W_pad, R_PAD), lambda bh, t: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, wtile * c), lambda bh, t: (bh, 0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+        if _FWD_PSUM:
+            LQ2 = _round_up(LQ_PAD, 128)
+            level_out = pl.pallas_call(
+                functools.partial(_sep_kernel_psum, wtile=wtile, c=c,
+                                  lq_pad=LQ_PAD, n_points=P, n_t=n_t,
+                                  fast=fast),
+                grid=(BH, n_t),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, c, LQ2), lambda bh, t: (bh, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((BH, c, LQ2), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((c, R_PAD), jnp.float32)],
+            )(syt, sxt, v_l)
+            out = out + level_out[:, :, :LQ_PAD].transpose(0, 2, 1)
+            continue
+
         level_out = pl.pallas_call(
             functools.partial(_sep_kernel, wtile=wtile, c=c, fast=fast),
             grid=(BH, n_t),
-            in_specs=[
-                pl.BlockSpec((1, H, R_PAD), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, W_pad, R_PAD), lambda bh, t: (bh, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, wtile * c), lambda bh, t: (bh, 0, t),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, c, R_PAD), lambda bh, t: (bh, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((BH, c, R_PAD), jnp.float32),

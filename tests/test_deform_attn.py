@@ -310,3 +310,35 @@ def test_pallas_sep_backward_bf16_operand_path():
         scale = max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(a / scale, b / scale, atol=0.02,
                                    err_msg=name)
+
+
+def test_pallas_sep_fwd_psum_in_kernel_matches(monkeypatch):
+    """MSDA_FWD_PSUM variant (P-sum inside the fwd kernel, P-major factors)
+    must reproduce the standard separable forward exactly (f32) and within
+    bf16 accuracy (fast)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas import msda_sep
+
+    rng = np.random.default_rng(17)
+    B, Lq, nh, c = 2, 5, 2, 8
+    shapes = [(64, 64), (3, 4)]  # 4096 -> separable branch in exact mode too
+    points = [2, 3]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+
+    for fast in (False, True):
+        with pltpu.force_tpu_interpret_mode():
+            ref = np.asarray(msda_sep._msda_sep_fwd_impl(
+                value, shapes, loc, w, points, fast=fast))
+        monkeypatch.setattr(msda_sep, "_FWD_PSUM", True)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(msda_sep._msda_sep_fwd_impl(
+                value, shapes, loc, w, points, fast=fast))
+        monkeypatch.setattr(msda_sep, "_FWD_PSUM", False)
+        tol = 1e-6 if not fast else 3e-2
+        np.testing.assert_allclose(got, ref, rtol=0, atol=tol,
+                                   err_msg=f"fast={fast}")
