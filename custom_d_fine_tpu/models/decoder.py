@@ -305,7 +305,8 @@ class DFINETransformer(nn.Module):
             dn_logits = jnp.where(dn["valid"][..., None], dn_logits, 0.0)
             attn_mask = jnp.asarray(build_dn_attn_mask(num_group, self.dn_max_gt, self.num_queries))
             dn_meta = {"num_dn": num_dn, "num_group": num_group,
-                       "positive": dn["positive"], "valid": dn["valid"]}
+                       "positive": dn["positive"], "valid": dn["valid"],
+                       "gt_index": dn["gt_index"]}
             denoising_bbox_unact = dn["bbox_unact"]
         else:
             num_dn = 0

@@ -65,15 +65,28 @@ def build_cdn_group(
     """
     B, G = labels.shape
     Gd = dn_max_gt
-    if G >= Gd:
-        labels = labels[:, :Gd]
-        boxes = boxes[:, :Gd]
-        valid = valid[:, :Gd]
-    else:
-        pad = Gd - G
-        labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=num_classes)
-        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
-        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+
+    # --- cycle-fill the static capacity with real GTs ---------------------
+    # The torch reference sizes num_group = num_denoising // max_gt_in_batch
+    # PER BATCH (:373-379), so its positive-query budget is always
+    # ~num_denoising regardless of how few GTs an image has. A static layout
+    # that merely padded each group to dn_max_gt with INVALID slots would
+    # shrink that budget by a factor of dn_max_gt / n for images with n GTs
+    # (measured: -0.18 val mAP@50 on the 120-step convergence A/B,
+    # tools/trained_parity.py eval_conv). Instead we fill every slot of every
+    # group by cycling the image's valid GTs (slot j of a group holds GT
+    # j % n, each repetition independently noised) — the same supervision
+    # budget as the reference with identical static shapes. Images with zero
+    # GTs keep fully-invalid slots.
+    order = jnp.argsort(~valid, axis=1, stable=True)  # valid GTs first
+    n = jnp.minimum(valid.sum(axis=1), Gd).astype(jnp.int32)  # usable GTs
+    slot = jnp.arange(Gd, dtype=jnp.int32)[None] % jnp.maximum(n, 1)[:, None]
+    gt_index = jnp.take_along_axis(order.astype(jnp.int32), slot, axis=1)  # [B, Gd] -> rows of the ORIGINAL [B, G] targets
+    labels = jnp.take_along_axis(labels, gt_index, axis=1)
+    boxes = jnp.take_along_axis(boxes, gt_index[..., None], axis=1)
+    valid = jnp.broadcast_to((n > 0)[:, None], (B, Gd))
+    labels = jnp.where(valid, labels, num_classes)
+    boxes = jnp.where(valid[..., None], boxes, 0.0)
 
     reps = 2 * num_group
     q_labels = jnp.tile(labels, (1, reps))            # [B, reps*Gd]
@@ -114,4 +127,5 @@ def build_cdn_group(
         "bbox_unact": dn_bbox_unact,    # [B, num_dn, 4]
         "valid": q_valid,               # [B, num_dn]
         "positive": positive,           # [B, num_dn]
+        "gt_index": gt_index,           # [B, Gd] slot j -> original GT row
     }

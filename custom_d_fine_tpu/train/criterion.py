@@ -26,6 +26,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configs.registry import CriterionConfig, MatcherConfig
 from ..models.denoising import dn_layout
@@ -323,24 +324,23 @@ class DFINECriterion:
 
     def _dn_match(self, dn_meta, targets) -> Match:
         """Static CDN matched indices (reference :809-831): positive slot
-        (group g, slot j) <-> gt j."""
+        (group g, slot j) <-> the GT that slot was cycle-filled with
+        (denoising.py build_cdn_group: gt_index[b, j] = j-th valid GT mod n,
+        so every slot of every group carries a real GT — the reference's
+        per-batch dynamic num_group supervision budget with static shapes)."""
         positive = dn_meta["positive"]  # [B, num_dn]
         B, num_dn = positive.shape
         num_group = dn_meta["num_group"]
         Gd = num_dn // (2 * num_group)
         # positive slots per group: [g*2*Gd + j for j < Gd]
-        q_idx = jnp.concatenate(
-            [jnp.arange(Gd, dtype=jnp.int32) + g * 2 * Gd for g in range(num_group)]
+        q_idx = np.concatenate(
+            [np.arange(Gd, dtype=np.int32) + g * 2 * Gd for g in range(num_group)]
         )
-        g_idx = jnp.tile(jnp.arange(Gd, dtype=jnp.int32), (num_group,))
-        q = jnp.broadcast_to(q_idx[None], (B, num_group * Gd))
-        g = jnp.broadcast_to(g_idx[None], (B, num_group * Gd))
-        gt_valid = targets["valid"]
-        if gt_valid.shape[1] >= Gd:
-            gt_valid = gt_valid[:, :Gd]
-        else:  # dn layout capacity exceeds the padded GT capacity
-            gt_valid = jnp.pad(gt_valid, ((0, 0), (0, Gd - gt_valid.shape[1])))
-        valid = jnp.tile(gt_valid, (1, num_group))
+        q = jnp.broadcast_to(jnp.asarray(q_idx)[None], (B, num_group * Gd))
+        g = jnp.tile(dn_meta["gt_index"].astype(jnp.int32), (1, num_group))
+        valid = positive[:, q_idx]
+        if "image_valid" in targets:  # mesh-padding rows contribute nothing
+            valid = valid & targets["image_valid"][:, None]
         return {"q": q, "g": g, "valid": valid}
 
     def __call__(self, outputs: Dict[str, Any], targets: Dict[str, jnp.ndarray]):
@@ -442,7 +442,14 @@ class DFINECriterion:
         if "dn_outputs" in outputs and outputs.get("dn_meta") is not None:
             dn_meta = outputs["dn_meta"]
             match_dn = self._dn_match(dn_meta, targets)
-            dn_num_boxes = jnp.maximum(num_boxes * dn_meta["num_group"], 1.0)
+            # reference divisor num_boxes * dn_num_group (:652) IS its count of
+            # valid positive dn slots; with cycle-filled groups ours is the
+            # actual positive-slot count (identical when every slot is real)
+            dn_positive = dn_meta["positive"]
+            if "image_valid" in targets:
+                dn_positive = dn_positive & targets["image_valid"][:, None]
+            dn_num_boxes = jnp.maximum(
+                dn_positive.sum().astype(jnp.float32), 1.0)
             fgl_dn = None
             for i, dn_out in enumerate(outputs["dn_outputs"]):
                 dn_out = dict(dn_out)
