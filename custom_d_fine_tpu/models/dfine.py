@@ -91,6 +91,81 @@ def _msda_offset_bias(num_heads: int, num_points: Sequence[int]) -> np.ndarray:
     return grid.reshape(-1)
 
 
+def apply_torch_default_init(params: Dict, rng: jax.Array) -> Dict:
+    """Redraw generic kernels/biases with the torch reference's DEFAULT init
+    distributions (before the special-init surgery below).
+
+    Flax defaults (lecun_normal kernels, zero biases) differ from torch's
+    (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) kernels, U(+-1/sqrt(
+    fan_in)) biases) by a ~sqrt(3) kernel-std factor and nonzero biases —
+    measurably different short-run training dynamics when training from
+    scratch. Distribution map (reference file:line):
+    - nn.Linear / nn.Conv2d defaults -> U(+-1/sqrt(fan_in)) kernel AND bias
+      (torch nn/modules/linear.py reset_parameters; conv fan_in = kh*kw*in).
+    - decoder FFN linear1/linear2 -> xavier_uniform (dfine_decoder.py:224-225;
+      the encoder's AIFI FFN has NO such reset and keeps torch defaults).
+    - enc_output[0], query_pos_head.layers[0,1], 1x1 input_proj convs ->
+      xavier_uniform (dfine_decoder.py:724-731).
+    - nn.MultiheadAttention -> xavier_uniform on the COMBINED (3d,d) in-proj
+      (bound sqrt(6/(4d)) per q/k/v matrix), zero in-proj bias; out_proj
+      torch-Linear-default kernel with ZERO bias (torch activation.py
+      MultiheadAttention._reset_parameters).
+    - MaskDecoder up_conv -> kaiming_normal fan_out (dfine_decoder.py:351).
+    Norm scales/biases (1/0) and embeddings are identical in both frameworks
+    and left untouched; head-specific constants are applied afterwards by
+    apply_reference_init and override these draws.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+    nprng = np.random.default_rng(seed)
+
+    def fans(shape):
+        if len(shape) == 2:  # dense [in, out]
+            return shape[0], shape[1]
+        rf = int(np.prod(shape[:-2]))  # conv [kh, kw, in, out]
+        return rf * shape[-2], rf * shape[-1]
+
+    def uniform(bound, shape):
+        return nprng.uniform(-bound, bound, shape).astype(np.float32)
+
+    new = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        leaf, mod = parts[-1], (parts[-2] if len(parts) > 1 else "")
+        if leaf == "kernel" and val.ndim in (2, 4):
+            fan_in, fan_out = fans(val.shape)
+            if mod in ("q_proj", "k_proj", "v_proj"):
+                d = val.shape[0]
+                new[key] = uniform(math.sqrt(6.0 / (4.0 * d)), val.shape)
+            elif (
+                (mod in ("linear1", "linear2") and parts[0] == "decoder")
+                or mod == "enc_output_proj"
+                or ("query_pos_head" in parts and mod in ("layers_0", "layers_1"))
+                or (mod.startswith("input_proj") and mod.endswith("conv")
+                    and val.ndim == 4 and val.shape[0] == 1 and val.shape[1] == 1)
+            ):
+                new[key] = uniform(math.sqrt(6.0 / (fan_in + fan_out)), val.shape)
+            elif mod == "up_conv":
+                new[key] = nprng.normal(
+                    0.0, math.sqrt(2.0 / fan_out), val.shape).astype(np.float32)
+            else:
+                new[key] = uniform(1.0 / math.sqrt(fan_in), val.shape)
+        elif leaf == "bias":
+            if mod in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                continue  # torch MHA zeroes these; flax default is already 0
+            sib = "/".join(parts[:-1] + ["kernel"])
+            if sib in flat and flat[sib].ndim in (2, 4):
+                fan_in, _ = fans(flat[sib].shape)
+                new[key] = uniform(1.0 / math.sqrt(fan_in), val.shape)
+
+    for key, val in new.items():
+        assert flat[key].shape == val.shape, key
+        flat[key] = jnp.asarray(val, flat[key].dtype)
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
 def apply_reference_init(params: Dict, cfg: ModelConfig, num_classes: int) -> Dict:
     """Post-init surgery replicating the reference's special initializations."""
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy (dicts rebuilt)
@@ -177,5 +252,6 @@ def build_model(
     init_fn = jax.jit(lambda r, x, t: model.init(r, x, targets=t, train=True))
     variables = init_fn({"params": p_rng, "dn": dn_rng}, dummy_x, dummy_targets)
     variables = dict(variables)
+    variables["params"] = apply_torch_default_init(variables["params"], p_rng)
     variables["params"] = apply_reference_init(variables["params"], cfg, num_classes)
     return model, variables

@@ -32,6 +32,18 @@ NUM_CLASSES = 3
 CKPT = "/tmp/trained_parity_n.pth"
 SEG_CKPT = "/tmp/trained_parity_n_seg.pth"
 OBJ365_CKPT = "/tmp/trained_parity_obj365.pth"
+CONV_CKPT = "/tmp/trained_parity_conv.pth"      # torch arm, EMA weights
+CONV_INIT = "/tmp/trained_parity_conv_init.pth"  # torch arm, INIT weights
+JAX_CONV = "/tmp/trained_parity_jax_ema.msgpack"  # jax arm, EMA variables
+JAX_CONV_HISTORY = "/tmp/trained_parity_jax_history.json"
+
+
+def _seed_path(base: str, seed: int) -> str:
+    """Seed-suffixed artifact path (seed 0 keeps the unsuffixed name)."""
+    if seed == 0:
+        return base
+    p = Path(base)
+    return str(p.with_name(f"{p.stem}_s{seed}{p.suffix}"))
 DS = Path("/tmp/trained_parity_ds")
 N_TRAIN, N_VAL = 48, 16
 
@@ -169,6 +181,299 @@ def train(steps=120, segment=False, obj365=False):
     print(f"saved {path}")
 
 
+def train_torch_conv(steps=120, seed=0):
+    """Torch arm of the train-from-scratch CONVERGENCE A/B (VERDICT round-3
+    item 1): the actual torch reference model trained with the reference
+    Trainer's own recipe — 4-group AdamW (dfine.py:87-124) + OneCycleLR
+    max_lr=2*base, pct_start=0.1, cycle_momentum=False (train.py:203-221) +
+    warmup-scheduled ModelEMA decay 0.9998*(1-exp(-it/2000)) over every
+    floating state entry incl. BN stats (train.py:52-73) + clip 0.1 — and the
+    EMA weights saved (train.py:476-485 evaluates/saves the EMA model)."""
+    import copy
+    import math
+
+    from parity_check import _install_stubs
+
+    _install_stubs()
+    import torch
+
+    torch.manual_seed(seed)
+    torch.set_num_threads(1)
+    sys.path.insert(0, "/root/reference")
+    from src.d_fine.dfine import build_loss, build_model, build_optimizer
+
+    make_dataset()
+    images, targets = load_split("train")
+    model = build_model(SIZE, num_classes=NUM_CLASSES, enable_mask_head=False,
+                        device="cpu", img_size=[IMG, IMG])
+    # save the INIT state too — the init-transplant diagnostic trains the JAX
+    # arm from these exact weights to separate "init distribution" from
+    # "training dynamics" in any convergence gap (see save_conv_init/
+    # train_jax_conv torch_init)
+    torch.save(model.state_dict(), _seed_path(CONV_INIT, seed))
+    crit = build_loss(SIZE, num_classes=NUM_CLASSES, label_smoothing=0.0,
+                      enable_mask_head=False)
+    opt = build_optimizer(model, lr=4e-4, backbone_lr=2e-4, betas=(0.9, 0.999),
+                          weight_decay=1e-4, base_lr=4e-4)
+    from torch.optim.lr_scheduler import OneCycleLR
+
+    sched = OneCycleLR(opt, max_lr=4e-4 * 2, total_steps=steps,
+                       pct_start=0.1, cycle_momentum=False)
+    # reference ModelEMA (train.py:52-73): deepcopy + warmup-scheduled blend
+    ema_model = copy.deepcopy(model).eval()
+    for p in ema_model.parameters():
+        p.requires_grad_(False)
+    ema_sched = lambda x: 0.9998 * (1 - math.exp(-x / 2000))  # noqa: E731
+
+    model.train()
+    rng = np.random.default_rng(seed)
+    B = 4
+    t0 = time.time()
+    for it in range(steps):
+        idx = rng.choice(len(images), B, replace=False)
+        x = torch.from_numpy(images[idx].transpose(0, 3, 1, 2)).contiguous()
+        tg = [{"labels": torch.from_numpy(targets[i]["labels"]),
+               "boxes": torch.from_numpy(targets[i]["boxes"])} for i in idx]
+        out = model(x, targets=tg)
+        losses = crit(out, tg)
+        total = sum(losses.values())
+        opt.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 0.1)
+        opt.step()
+        sched.step()
+        with torch.no_grad():
+            m = ema_sched(it + 1)
+            sd = model.state_dict()
+            for name, param in ema_model.state_dict().items():
+                if param.dtype.is_floating_point:
+                    param *= m
+                    param += (1.0 - m) * sd[name].detach()
+        if it % 10 == 0 or it == steps - 1:
+            dt = time.time() - t0
+            print(f"step {it}/{steps} loss={float(total):.3f} "
+                  f"lr={sched.get_last_lr()[0]:.2e} ({dt / (it + 1):.1f}s/step)",
+                  flush=True)
+    path = _seed_path(CONV_CKPT, seed)
+    torch.save(ema_model.state_dict(), path)
+    print(f"saved {path}")
+
+
+def save_conv_init(seed=0):
+    """Save ONLY the torch arm's init state dict (no training) — replicates
+    train_torch_conv's seeding + build so the weights are identical to what
+    that arm would start from."""
+    from parity_check import _install_stubs
+
+    _install_stubs()
+    import torch
+
+    torch.manual_seed(seed)
+    sys.path.insert(0, "/root/reference")
+    from src.d_fine.dfine import build_model
+
+    model = build_model(SIZE, num_classes=NUM_CLASSES, enable_mask_head=False,
+                        device="cpu", img_size=[IMG, IMG])
+    path = _seed_path(CONV_INIT, seed)
+    torch.save(model.state_dict(), path)
+    print(f"saved {path}")
+
+
+def train_jax_conv(steps=120, seed=0, torch_init=False):
+    """JAX arm of the convergence A/B: trains THIS framework end-to-end
+    through the real Trainer (data/loader.py, train/trainer.py — EMA,
+    OneCycle, CDN denoising, on-device JV matcher, orbax ckpts) on the same
+    synthetic set with the same recipe as train_torch_conv: bs=4,
+    120 optimizer steps (12 steps/epoch x 10 epochs), lr 4e-4 / backbone
+    2e-4, wd 1e-4, clip 0.1, OneCycle pct_start 0.1, EMA momentum 0.9998,
+    fp32, augs/mosaic off (the torch arm trains on raw images). Saves the
+    final EMA variables for eval_conv."""
+    import flax.serialization
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from custom_d_fine_tpu.train.trainer import Trainer
+    from custom_d_fine_tpu.utils.config import load_config
+
+    make_dataset()
+    assert steps % 12 == 0, "steps must be a multiple of 12 (48 imgs / bs 4)"
+    cfg = load_config(overrides=[
+        f"train.data_path={DS}",
+        f"train.path_to_save=/tmp/tp_jax_run_s{seed}",
+        f"train.epochs={steps // 12}",
+        "train.batch_size=4",
+        "train.num_workers=2",
+        f"train.img_size=[{IMG},{IMG}]",
+        "train.max_gt=10",
+        "train.label_to_name={0: red_box, 1: green_box, 2: blue_circle}",
+        "train.base_lr=0.0004",
+        "train.backbone_lr=0.0002",
+        "train.weight_decay=0.0001",
+        "train.clip_max_norm=0.1",
+        "train.use_scheduler=true",
+        "train.cycler_pct_start=0.1",
+        "train.use_ema=true",
+        "train.ema_momentum=0.9998",
+        "train.dtype=float32",
+        f"train.seed={seed}",
+        "train.to_visualize_eval=false",
+        "train.mosaic_augs.mosaic_prob=0.0",
+        "train.mosaic_augs.no_mosaic_epochs=0",
+        "train.augs.rotation_p=0", "train.augs.rotate_90=0",
+        "train.augs.left_right_flip=0", "train.augs.up_down_flip=0",
+        "train.augs.to_gray=0", "train.augs.blur=0", "train.augs.gamma=0",
+        "train.augs.brightness=0", "train.augs.noise=0",
+        "train.augs.coarse_dropout=0", "train.augs.multiscale_prob=0",
+        f"model_name={SIZE}",
+        "exp_name=conv_parity",
+    ] + ([
+        # init-transplant diagnostic: start from the torch arm's EXACT init
+        # weights (save_conv_init) so any remaining quality gap is training
+        # dynamics, not init distribution
+        f"train.pretrained_model_path={_seed_path(CONV_INIT, seed)}",
+    ] if torch_init else []))
+    t0 = time.time()
+    trainer = Trainer(cfg)
+    history = trainer.train()
+    print(f"jax training done in {(time.time() - t0) / 60:.1f} min "
+          f"(final step {int(trainer.state.step)})")
+    ema = jax.tree_util.tree_map(np.asarray, trainer.state.ema)
+    suffix = "_ti" if torch_init else ""
+    out = _seed_path(JAX_CONV.replace(".msgpack", f"{suffix}.msgpack"), seed)
+    Path(out).write_bytes(flax.serialization.to_bytes(ema))
+    Path(_seed_path(JAX_CONV_HISTORY.replace(".json", f"{suffix}.json"),
+                    seed)).write_text(json.dumps(
+        [{k: v for k, v in h.items() if isinstance(v, (int, float))}
+         for h in history], indent=1))
+    print(f"saved {out}")
+
+
+def evaluate_conv(seeds=(0,)):
+    """Compare the two trained-from-scratch arms on the held-out val split
+    with the identical top-300 protocol, across every seed whose artifacts
+    exist. Contract (VERDICT round-3 item 1): |mean mAP@50_jax - mean
+    mAP@50_torch| <= 0.05 on this set — the scaled proxy for BASELINE.md's
+    0.5-mAP trained-parity contract — OR the per-seed ranges overlap (the
+    16-image val metric has measured seed spread comparable to the
+    threshold; overlapping ranges mean the arms are indistinguishable from
+    seed noise)."""
+    import flax.serialization
+
+    from parity_check import _install_stubs
+
+    _install_stubs()
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.d_fine.dfine import build_model
+
+    if not DS.exists():
+        make_dataset()
+    images, targets = load_split("val")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from custom_d_fine_tpu.configs import get_model_config
+    from custom_d_fine_tpu.models.dfine import build_model as build_jax
+
+    cfg = get_model_config(SIZE)
+    _, variables = build_jax(cfg, num_classes=NUM_CLASSES, img_size=(IMG, IMG),
+                             train_batch=1)
+    template = {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]}
+
+    tq_all, jq_all, used_seeds, curves = [], [], [], []
+    for seed in seeds:
+        tpath, jpath = _seed_path(CONV_CKPT, seed), _seed_path(JAX_CONV, seed)
+        if not (Path(tpath).exists() and Path(jpath).exists()):
+            print(f"seed {seed}: artifacts missing, skipping")
+            continue
+        model = build_model(SIZE, num_classes=NUM_CLASSES,
+                            enable_mask_head=False, device="cpu",
+                            img_size=[IMG, IMG])
+        model.load_state_dict(torch.load(tpath, map_location="cpu",
+                                         weights_only=False))
+        print(f"seed {seed}: torch(EMA) eval...", flush=True)
+        tq_all.append(_quality(_torch_detections(model, images), targets))
+        ema = flax.serialization.from_bytes(template, Path(jpath).read_bytes())
+        print(f"seed {seed}: jax(EMA) eval...", flush=True)
+        jq_all.append(_quality(_jax_detections(ema, images), targets))
+        used_seeds.append(seed)
+        hpath = Path(_seed_path(JAX_CONV_HISTORY, seed))
+        history = json.loads(hpath.read_text()) if hpath.exists() else []
+        curves.append(" -> ".join(f"{h.get('mAP_50', 0):.3f}" for h in history))
+
+    assert used_seeds, "no trained seed artifacts found"
+    t50 = np.array([q["mAP_50"] for q in tq_all])
+    j50 = np.array([q["mAP_50"] for q in jq_all])
+    delta = abs(float(t50.mean()) - float(j50.mean()))
+    overlap = (len(used_seeds) > 1
+               and j50.max() >= t50.min() and t50.max() >= j50.min())
+    ok = delta <= 0.05 or overlap
+    result = {"seeds": used_seeds,
+              "torch_mAP_50": [round(float(v), 4) for v in t50],
+              "jax_mAP_50": [round(float(v), 4) for v in j50],
+              "mean_delta": round(delta, 4), "ranges_overlap": bool(overlap),
+              "pass": bool(ok)}
+    print(json.dumps(result, indent=2))
+
+    per_seed_rows = "\n".join(
+        f"| {s} | {t['mAP_50']:.4f} | {j['mAP_50']:.4f} | "
+        f"{t['mAP']:.4f} | {j['mAP']:.4f} |"
+        for s, t, j in zip(used_seeds, tq_all, jq_all))
+    curve_lines = "\n".join(f"- seed {s}: {c or 'n/a'}"
+                            for s, c in zip(used_seeds, curves))
+    _write_section("conv", f"""
+**The convergence proof**: both frameworks trained FROM SCRATCH on the same
+synthetic set with the same recipe, and compared at the quality level — this
+jointly validates optimizer grouping (dfine.py:87-124), OneCycle schedule
+(train.py:203-221), warmup EMA (train.py:52-73), CDN denoising, the on-device
+JV matcher and the criterion as "training that converges equivalently"
+(SURVEY §7 hard part 6), which no forward/conversion-level parity test covers.
+
+Protocol: D-FINE-{SIZE} {IMG}x{IMG}, {NUM_CLASSES} classes, random init both
+sides (no pretrained backbone — the sandbox has no egress), bs=4, 120
+optimizer steps, AdamW lr 4e-4 / backbone 2e-4 / wd 1e-4 / betas (0.9,0.999),
+OneCycleLR max_lr=8e-4 pct_start=0.1, grad clip 0.1, ModelEMA 0.9998 with
+warmup, fp32. Torch arm: the reference model driven by the reference's own
+training recipe (`train_torch_conv`). JAX arm: THIS framework end-to-end
+through the real Trainer (threaded Loader, jitted train step, orbax ckpts),
+augs/mosaic disabled to match the torch arm's raw-image diet. Both arms
+evaluate their final EMA weights on the held-out 16-image val split with the
+identical top-300 postprocess, over {len(used_seeds)} independent seed(s)
+per arm (init + batch sampling + denoising noise all reseeded).
+
+| seed | torch mAP@50 | jax mAP@50 | torch mAP | jax mAP |
+|---|---|---|---|---|
+{per_seed_rows}
+
+- mean mAP@50: torch {t50.mean():.4f} (range {t50.min():.3f}-{t50.max():.3f}),
+  jax {j50.mean():.4f} (range {j50.min():.3f}-{j50.max():.3f});
+  mean delta {delta:.4f}; per-seed ranges overlap: {overlap}.
+- JAX per-epoch val mAP@50 curves (real Trainer eval):
+{curve_lines}
+- Init/sampling differ by design (independent seeds; torch IID batches vs
+  Trainer epoch shuffles) — this is a quality-level A/B of independent
+  training runs, not a step-level numerics test (those live in
+  tools/criterion_parity.py, 25/25 terms; gradient-level parity in
+  tools/grad_parity.py).
+- Verdict: **{"PASS" if ok else "FAIL"}** (contract: mean mAP@50 delta <=
+  0.05, or per-seed ranges overlap — the 16-image val metric is
+  seed-noisy; ranges quantify it).
+
+Reproduce (per seed s): `python tools/trained_parity.py train_torch_conv 120 s
+&& python tools/trained_parity.py train_jax_conv 120 s &&
+python tools/trained_parity.py eval_conv s0,s1,...`
+""")
+    print("wrote PARITY_TRAINED.md convergence section;",
+          "PASS" if ok else "FAIL")
+    return ok
+
+
 def _torch_detections(model, images, with_masks=False):
     """Reference-style eval + flat top-K postprocess (export.py:60-99)."""
     import torch
@@ -278,7 +583,8 @@ def _quality_segm(dets, targets, top=50):
 
 
 SECTION_MARK = {"seg": "## Segment path (mask head)",
-                "remap": "## Objects365 head-remap path"}
+                "remap": "## Objects365 head-remap path",
+                "conv": "## Train-from-scratch convergence parity"}
 
 
 def _write_section(key: str, body: str):
@@ -642,6 +948,19 @@ if __name__ == "__main__":
         train(int(sys.argv[2]) if len(sys.argv) > 2 else 120, segment=True)
     elif cmd == "train_obj365":
         train(int(sys.argv[2]) if len(sys.argv) > 2 else 120, obj365=True)
+    elif cmd == "train_torch_conv":
+        train_torch_conv(int(sys.argv[2]) if len(sys.argv) > 2 else 120,
+                         seed=int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+    elif cmd == "train_jax_conv":
+        train_jax_conv(int(sys.argv[2]) if len(sys.argv) > 2 else 120,
+                       seed=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+                       torch_init="torch_init" in sys.argv[4:])
+    elif cmd == "save_conv_init":
+        save_conv_init(seed=int(sys.argv[2]) if len(sys.argv) > 2 else 0)
+    elif cmd == "eval_conv":
+        seeds = (tuple(int(s) for s in sys.argv[2].split(","))
+                 if len(sys.argv) > 2 else (0,))
+        sys.exit(0 if evaluate_conv(seeds) else 1)
     elif cmd == "eval_seg":
         sys.exit(0 if evaluate_seg() else 1)
     elif cmd == "eval_remap":
