@@ -116,6 +116,57 @@ def make_train_step(
     return train_step
 
 
+def make_train_multi_step(
+    model,
+    criterion: DFINECriterion,
+    tx: optax.GradientTransformation,
+    ema_momentum: float = 0.9998,
+    b_accum_steps: int = 1,
+    normalize_images: bool = True,
+):
+    """K optimizer steps per host dispatch via lax.scan.
+
+    Dispatching one train step costs ~76-148 ms of host wall on this 1-core
+    host (pytree flatten + per-leaf argument processing of the big donated
+    TrainState — measured with tools/profile_dispatch.py), which at bs16 is
+    ~the device step time itself: the host, not the TPU, becomes the training
+    wall. Scanning K steps inside one jitted call amortizes that cost K-fold
+    while computing the same sequence of updates (scan carries the TrainState
+    through the same per-step graph; the optimizer schedule and EMA warmup
+    advance per inner step) — equal to K single dispatches up to float
+    reassociation between the scanned and standalone compilations
+    (tests/test_train_step.py pins it at rtol 2e-4).
+
+    batches: same dict as make_train_step's `batch` but every leaf has a
+    leading K axis ([K, B, ...]); images may stay uint8 on the wire — they
+    are normalized to f32/255 per scan step (cheap, fused, and avoids
+    materializing the whole K-deep f32 stack in HBM).
+
+    Returns multi_step(state, batches, rng) -> (state, metrics) where every
+    metrics leaf is [K] (per inner step, in order).
+
+    Reference counterpart: the torch loop pays per-step Python dispatch
+    (src/dl/train.py:550-575) and hides it behind CUDA async launches; on
+    this runtime the equivalent hiding is batching the dispatch itself.
+    """
+    step = make_train_step(model, criterion, tx, ema_momentum, b_accum_steps)
+
+    def multi_step(state: TrainState, batches: Dict[str, jnp.ndarray], rng: jax.Array):
+        K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, K)
+
+        def body(carry, xs):
+            batch, r = xs
+            if normalize_images and batch["images"].dtype != jnp.float32:
+                batch = dict(batch)
+                batch["images"] = batch["images"].astype(jnp.float32) / 255.0
+            return step(carry, batch, r)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return multi_step
+
+
 def make_eval_step(model, use_ema: bool = True):
     """eval_step(state, images) -> raw eval-mode outputs (reference
     train.py:396-400: inference on the EMA model under autocast)."""

@@ -46,7 +46,13 @@ from ..utils.torch_convert import (
 )
 from .criterion import DFINECriterion
 from .optim import build_optimizer
-from .train_step import TrainState, create_train_state, make_eval_step, make_train_step
+from .train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_multi_step,
+    make_train_step,
+)
 
 try:
     import orbax.checkpoint as ocp
@@ -233,6 +239,19 @@ class Trainer:
                             b_accum_steps=self.b_accum_steps),
             donate_argnums=(0,),
         )
+        # K optimizer steps per dispatch (train_step.py:make_train_multi_step):
+        # amortizes the ~76-148 ms/step host dispatch of the donated TrainState
+        # pytree, which at bs16 rivals the device step itself on this 1-core
+        # host. Identical update sequence; metrics come back [K]-stacked.
+        self.steps_per_dispatch = int(t.get("steps_per_dispatch", 1))
+        self.data_stacked_spec = NamedSharding(self.mesh, P(None, "data"))
+        if self.steps_per_dispatch > 1:
+            self.train_multi_step = jax.jit(
+                make_train_multi_step(self.model, self.criterion, self.tx,
+                                      ema_momentum=t.get("ema_momentum", 0.9998),
+                                      b_accum_steps=self.b_accum_steps),
+                donate_argnums=(0,),
+            )
         eval_raw = make_eval_step(self.model, use_ema=self.use_ema)
 
         def _eval(state, images_u8):
@@ -312,7 +331,7 @@ class Trainer:
 
     # ------------------------------------------------------------ train loop
 
-    def _put_global(self, arr):
+    def _put_global(self, arr, spec=None):
         """Host-local numpy batch -> globally-sharded device array.
 
         Single-process: one device_put to the sharding. Multi-process: each
@@ -321,9 +340,10 @@ class Trainer:
         array to a global sharding would wrongly treat it as the full global
         value (reference counterpart: DDP keeps per-rank batches local,
         train.py:171-176; here GSPMD sees one global batch)."""
+        spec = self.data_spec if spec is None else spec
         if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(self.data_spec, arr)
-        return jax.device_put(arr, self.data_spec)
+            return jax.make_array_from_process_local_data(spec, arr)
+        return jax.device_put(arr, spec)
 
     def _shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         arrays = {k: batch[k] for k in ("images", "labels", "boxes", "valid")}
@@ -384,23 +404,63 @@ class Trainer:
             it = self.loader.epoch_iterator("train", epoch=epoch)
             n_batches = len(it)
             t_epoch = time.time()
-            for i, batch in enumerate(it):
-                rng, step_rng = jax.random.split(rng)
-                gpu_batch = self._shard_batch(batch)
-                # normalize on device (images stay uint8 on the wire)
-                gpu_batch["images"] = gpu_batch["images"].astype(jnp.float32) / 255.0
-                self.state, m = self.train_step(self.state, gpu_batch, step_rng)
+
+            def log_point(i, loss_arr):
                 # fetch the scalar only at logging points — on this TPU tunnel
                 # a host fetch costs ~30ms, so per-step fetches would dominate
-                if i % 50 == 0 or i == n_batches - 1:
-                    loss_val = float(m["total_loss"])
-                    epoch_losses.append(loss_val)
-                    dt = time.time() - t_epoch
-                    eta = dt / (i + 1) * (n_batches - i - 1)
-                    logger.info(
-                        f"epoch {epoch}/{self.epochs} step {i}/{n_batches} "
-                        f"loss {loss_val:.3f} eta {eta/60:.1f}m"
-                    )
+                loss_val = float(loss_arr)
+                epoch_losses.append(loss_val)
+                dt = time.time() - t_epoch
+                eta = dt / (i + 1) * (n_batches - i - 1)
+                logger.info(
+                    f"epoch {epoch}/{self.epochs} step {i}/{n_batches} "
+                    f"loss {loss_val:.3f} eta {eta/60:.1f}m"
+                )
+
+            K = self.steps_per_dispatch
+            buf: List[Dict] = []  # host batches awaiting one stacked dispatch
+
+            def flush(i):
+                """Dispatch buffered same-shape batches as one scan-of-K call
+                (or the single-step path for a lone/odd batch)."""
+                nonlocal rng
+                if not buf:
+                    return
+                rng, step_rng = jax.random.split(rng)
+                if len(buf) == 1:
+                    gpu_batch = {k: self._put_global(v)
+                                 for k, v in buf[0].items()}
+                    gpu_batch["images"] = (
+                        gpu_batch["images"].astype(jnp.float32) / 255.0)
+                    self.state, m = self.train_step(
+                        self.state, gpu_batch, step_rng)
+                    last_loss = m["total_loss"]
+                else:
+                    stacked = {
+                        k: self._put_global(
+                            np.stack([b[k] for b in buf]),
+                            spec=self.data_stacked_spec)
+                        for k in buf[0]
+                    }
+                    self.state, m = self.train_multi_step(
+                        self.state, stacked, step_rng)
+                    last_loss = m["total_loss"][-1]
+                if i % 50 < len(buf) or i == n_batches - 1:
+                    log_point(i, last_loss)
+                buf.clear()
+
+            for i, batch in enumerate(it):
+                host_batch = self._pad_to_mesh(
+                    {k: batch[k]
+                     for k in ("images", "labels", "boxes", "valid", "masks")
+                     if k in batch})
+                if buf and any(buf[0][k].shape != host_batch[k].shape
+                               for k in host_batch):
+                    flush(i - 1)  # shape change (multiscale / tail batch)
+                buf.append(host_batch)
+                if len(buf) == K:
+                    flush(i)
+            flush(n_batches - 1)
 
             metrics = self.evaluate("val")
             metrics["epoch"] = epoch

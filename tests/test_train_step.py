@@ -137,3 +137,54 @@ def test_pad_to_mesh_shapes():
     arrays8 = {k: np.repeat(v, 2, axis=0)[:8] for k, v in arrays.items()}
     out8 = Trainer._pad_to_mesh(Stub(), dict(arrays8))
     assert out8["images"].shape[0] == 8 and out8["image_valid"].all()
+
+
+def test_multi_step_matches_sequential_single_steps(setup):
+    """lax.scan-of-K dispatch (make_train_multi_step) computes the same
+    update SEQUENCE as K sequential single-step dispatches with the same
+    per-step rngs, and returns [K]-stacked metrics. Equality is up to float
+    reassociation between the scanned and standalone compilations of the
+    step graph (measured ~2e-5 rel on the loss by step 3 on CPU; a wrong rng
+    split / step order / schedule bug shows up at 1e-2+). Also checks the
+    uint8-on-the-wire normalization path matches pre-normalized f32
+    inputs."""
+    from custom_d_fine_tpu.train.train_step import make_train_multi_step
+
+    cfg, model, criterion, tx, state = setup
+    rng = np.random.default_rng(7)
+    K = 3
+    batches = [_batch(cfg, rng) for _ in range(K)]
+    # uint8 wire format for the multi-step arm; f32/255 for the single-step arm
+    u8 = [np.clip((np.asarray(b["images"]) * 40 + 128), 0, 255).astype(np.uint8)
+          for b in batches]
+    for b, u in zip(batches, u8):
+        b["images"] = jnp.asarray(u.astype(np.float32) / 255.0)
+
+    step_fn = jax.jit(make_train_step(model, criterion, tx))
+    multi_fn = jax.jit(make_train_multi_step(model, criterion, tx))
+
+    root = jax.random.PRNGKey(123)
+    rngs = jax.random.split(root, K)
+    s_seq = state
+    seq_losses = []
+    for b, r in zip(batches, rngs):
+        s_seq, m = step_fn(s_seq, b, r)
+        seq_losses.append(float(m["total_loss"]))
+
+    stacked = {
+        k: jnp.stack([jnp.asarray(u) if k == "images" else b[k]
+                      for b, u in zip(batches, u8)])
+        for k in batches[0]
+    }
+    s_multi, m_multi = multi_fn(state, stacked, root)
+
+    assert m_multi["total_loss"].shape == (K,)
+    np.testing.assert_allclose(np.asarray(m_multi["total_loss"]), seq_losses,
+                               rtol=2e-4)
+    assert int(s_multi.step) == int(s_seq.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_seq.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_multi.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_seq.ema)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_multi.ema))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
