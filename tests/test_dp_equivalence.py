@@ -36,15 +36,15 @@ def _run_step(mesh, model, criterion, tx, variables, batch, rng):
     return new_state, jax.device_get(metrics)
 
 
-def test_mesh8_equals_mesh1():
+def _equivalence_case(cfg, criterion_cfg=None, with_masks=False, IMG=160,
+                      B=8, NC=4):
     devices = jax.devices()
     assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
 
-    cfg = tiny_config()
-    IMG, B, NC = 160, 8, 4
     model, variables = build_model(cfg, num_classes=NC, img_size=(IMG, IMG),
                                    train_batch=2)
-    criterion = DFINECriterion(cfg.criterion, cfg.matcher, num_classes=NC,
+    criterion = DFINECriterion(criterion_cfg or cfg.criterion, cfg.matcher,
+                               num_classes=NC,
                                num_queries=cfg.decoder.num_queries)
     tx = build_optimizer(variables["params"], cfg, base_lr=2.5e-4,
                          backbone_lr=6e-5, total_steps=10)
@@ -54,12 +54,22 @@ def test_mesh8_equals_mesh1():
         "images": jnp.asarray(rng.normal(size=(B, IMG, IMG, 3)), jnp.float32),
         **make_targets(B, cfg.max_gt, NC, rng),
     }
+    if with_masks:
+        md = cfg.encoder.feat_strides[0] // 2
+        masks = np.zeros((B, cfg.max_gt, IMG // md, IMG // md), np.uint8)
+        masks[:, :, 8:24, 10:30] = 1
+        batch["masks"] = jnp.asarray(masks)
     key = jax.random.PRNGKey(0)
 
     s1, m1 = _run_step(make_mesh(devices[:1]), model, criterion, tx,
                        variables, batch, key)
     s8, m8 = _run_step(make_mesh(devices[:8]), model, criterion, tx,
                        variables, batch, key)
+    return s1, m1, s8, m8
+
+
+def test_mesh8_equals_mesh1():
+    s1, m1, s8, m8 = _equivalence_case(tiny_config())
 
     # losses and gradient norm: identical up to float reassociation across
     # the partitioned reductions
@@ -85,6 +95,39 @@ def test_mesh8_equals_mesh1():
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
 
     # batch stats (BN over the GLOBAL batch — the SyncBatchNorm equivalent)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.batch_stats)),
+                    jax.tree_util.tree_leaves(jax.device_get(s8.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_mesh8_equals_mesh1_registry_config():
+    """Same assertion on the REAL registry D-FINE-s with mask head + full CDN
+    (VERDICT round-3 item 5): the tiny-config proof would not catch a
+    sharding bug specific to the 3-level feature path, the MaskDecoder, or
+    the real denoising capacity (100 dn slots). Uses the dryrun's proven-
+    affordable shape (160^2, one image per device)."""
+    import dataclasses
+
+    from custom_d_fine_tpu.configs import get_model_config
+
+    cfg = get_model_config("s", enable_mask_head=True)
+    crit_cfg = dataclasses.replace(
+        cfg.criterion, losses=tuple(cfg.criterion.losses) + ("masks",))
+    s1, m1, s8, m8 = _equivalence_case(cfg, criterion_cfg=crit_cfg,
+                                       with_masks=True)
+
+    np.testing.assert_allclose(m1["total_loss"], m8["total_loss"],
+                               rtol=1e-5, atol=1e-6)
+    # the registry model's grad norm reduces ~20x more leaves than the tiny
+    # config — partitioned-reduction reassociation shows up at ~1e-4 rel
+    np.testing.assert_allclose(m1["grad_norm"], m8["grad_norm"],
+                               rtol=5e-4, atol=1e-6)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=5e-4, atol=1e-5,
+                                   err_msg=f"metric {k} diverged")
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s8.params))):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.batch_stats)),
                     jax.tree_util.tree_leaves(jax.device_get(s8.batch_stats))):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
