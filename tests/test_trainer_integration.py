@@ -91,6 +91,42 @@ def test_trainer_one_epoch(dataset_root, tmp_path):
                 err_msg=f"sharded vs plain eval metric {k} diverged")
 
 
+def test_trainer_steps_per_dispatch_epoch(dataset_root, tmp_path):
+    """Trainer-level scan-of-K path: with steps_per_dispatch=2 the epoch loop
+    groups same-shape batches into one multi-step dispatch (trainer.py
+    flush()) and must produce a normal finite history. 12 train imgs at bs=4
+    (drop_last on the train split) give 3 batches per epoch: one K=2 flush
+    plus one lone-batch single-step fallback — both paths execute, and every
+    batch is stepped exactly once."""
+    import jax
+    from custom_d_fine_tpu.train.trainer import Trainer
+    from custom_d_fine_tpu.utils.config import load_config
+
+    cfg = load_config(overrides=[
+        f"train.data_path={dataset_root}",
+        f"train.path_to_save={tmp_path}/run_k2",
+        "train.epochs=1",
+        "train.batch_size=4",
+        "train.num_workers=2",
+        "train.steps_per_dispatch=2",
+        "train.img_size=[160,160]",
+        "train.max_gt=10",
+        "train.label_to_name={0: obj}",
+        "train.mosaic_augs.mosaic_prob=0.0",
+        "train.mosaic_augs.no_mosaic_epochs=0",
+        "model_name=n",
+        "exp_name=ittest_k2",
+    ])
+    trainer = Trainer(cfg, model_cfg_override=tiny_config())
+    history = trainer.train()
+    assert len(history) == 1
+    assert all(np.isfinite(m["train_loss"]) for m in history)
+    # 3 batches -> one scan-of-2 dispatch + one single-step fallback
+    assert int(trainer.state.step) == 3
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
+
+
 def test_resume_from_last_checkpoint(dataset_root, tmp_path):
     """Mid-run resume: 'last' carries the optimizer state (the reference
     cannot resume at all — train.py:476-503 saves weights only)."""
@@ -204,3 +240,86 @@ def test_trainer_loss_descends_overfit(dataset_root, tmp_path):
     # 6 epochs = 6 OneCycle-warmup steps on CPU: expect a modest but real
     # drop (measured 31.49 -> 30.26); a sign flip rises, dead grads stay flat
     assert last < first * 0.99, f"loss did not descend: {first:.3f} -> {last:.3f}"
+
+
+def test_sharded_eval_raw_tensor_equality():
+    """Raw-tensor sharded-vs-plain eval equality (VERDICT round-3 item 7).
+
+    The Trainer-level comparison above is metric-level because a
+    barely-trained model's scores are near-tied (an untrained head's top-60
+    of 1200 query x class scores cluster within ~1e-3, and any kernel
+    scaling either keeps them clustered or saturates the sigmoid — measured
+    both) and the top-K selection then tie-breaks by lane order, which may
+    differ between compilations. So the raw-tensor claim is pinned in two
+    decisive halves:
+    1. the FULL model output tensors (pred_logits/pred_boxes, no selection,
+       so ties are irrelevant) match between the 1-device and
+       8-device-sharded compilations of the same eval graph, and
+    2. topk_detections itself picks identical (query, class) detections in
+       identical order under both compilations on a synthetic TIE-FREE
+       logits tensor (continuous iid normals: ties have measure zero).
+    Together: per-query outputs are shard-invariant AND selection is
+    shard-invariant when unambiguous — a per-query off-by-one that happens
+    to preserve F1 on the tiny set (the metric-level test's blind spot)
+    fails half 1; a selection-order bug fails half 2."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from custom_d_fine_tpu.models.dfine import build_model
+    from custom_d_fine_tpu.ops.postprocess import topk_detections
+    from custom_d_fine_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config()
+    IMG, B, NC = 160, 8, 4
+    model, variables = build_model(cfg, num_classes=NC, img_size=(IMG, IMG),
+                                   train_batch=2)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    def eval_fn(variables, images):
+        return model.apply(variables, images, train=False)
+
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.normal(size=(B, IMG, IMG, 3)), jnp.float32)
+
+    devices = jax.devices()
+    mesh = make_mesh(devices[:8])
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    o_plain = jax.jit(eval_fn)(variables, images)
+    o_shard = jax.jit(eval_fn, in_shardings=(repl, data))(
+        jax.device_put(variables, repl), jax.device_put(images, data))
+    # half 1: full raw outputs identical (batch sharding must not change
+    # per-sample math; eval BN uses running stats, no cross-batch reduction)
+    np.testing.assert_allclose(np.asarray(o_plain["pred_logits"]),
+                               np.asarray(o_shard["pred_logits"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o_plain["pred_boxes"]),
+                               np.asarray(o_shard["pred_boxes"]),
+                               rtol=1e-5, atol=1e-6)
+
+    # half 2: selection equality on tie-free logits
+    Q = o_plain["pred_logits"].shape[1]
+    logits = jnp.asarray(rng.normal(size=(B, Q, NC)) * 3.0, jnp.float32)
+    boxes = jnp.asarray(
+        np.concatenate([rng.uniform(0.2, 0.8, (B, Q, 2)),
+                        rng.uniform(0.05, 0.3, (B, Q, 2))], -1), jnp.float32)
+
+    def select(logits, boxes):
+        return topk_detections(logits, boxes, 60, (IMG, IMG))
+
+    d_plain = jax.jit(select)(logits, boxes)
+    d_shard = jax.jit(select, in_shardings=(data, data))(
+        jax.device_put(logits, data), jax.device_put(boxes, data))
+    d_plain = {k: np.asarray(v) for k, v in d_plain.items()}
+    d_shard = {k: np.asarray(v) for k, v in d_shard.items()}
+    np.testing.assert_array_equal(d_plain["labels"], d_shard["labels"])
+    np.testing.assert_allclose(d_plain["scores"], d_shard["scores"],
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(d_plain["boxes"], d_shard["boxes"],
+                               rtol=1e-6, atol=0)
+    # sanity: the synthetic scores really are tie-free at float32
+    gaps = np.diff(np.sort(d_plain["scores"], axis=-1), axis=-1)
+    assert float(np.abs(gaps).min()) > 1e-7
