@@ -266,10 +266,15 @@ class Trainer:
 
         # eval is sharded over the SAME mesh as training (the reference
         # evaluates on all GPUs via DistributedSampler, dataset.py:562-568);
-        # committed in_shardings make XLA partition the whole eval graph
+        # committed in_shardings make XLA partition the whole eval graph.
+        # out_shardings pins every detection tensor batch-sharded so each
+        # process can fetch ITS rows from addressable shards (a replicated or
+        # unconstrained output spans non-addressable devices at
+        # process_count>1 and cannot be fetched at all).
         self._eval_fn = _eval  # unjitted; tests compare sharded vs plain
         self.eval_step = jax.jit(
-            _eval, in_shardings=(self.repl, self.data_spec))
+            _eval, in_shardings=(self.repl, self.data_spec),
+            out_shardings=self.data_spec)
 
         self.best_metric = -1.0
         self.epochs_no_improve = 0
@@ -344,6 +349,22 @@ class Trainer:
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(spec, arr)
         return jax.device_put(arr, spec)
+
+    def _fetch_local_rows(self, arr) -> np.ndarray:
+        """Device->host fetch of THIS process's rows of a batch-sharded global
+        array (found by the real 2-process smoke: np.asarray on a global array
+        raises 'spans non-addressable devices' at process_count>1). The eval
+        graph pins out_shardings to data_spec, so each addressable shard is a
+        contiguous row block of the rows this process contributed in
+        _put_global; concatenate them in global row order, deduplicating by
+        start index (replication within a shard dimension yields copies)."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        parts = {}
+        for s in arr.addressable_shards:
+            parts.setdefault(s.index[0].start or 0, s.data)
+        return np.concatenate(
+            [np.asarray(parts[k]) for k in sorted(parts)], axis=0)
 
     def _shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         arrays = {k: batch[k] for k in ("images", "labels", "boxes", "valid")}
@@ -534,7 +555,7 @@ class Trainer:
             # add a second resharding copy — ~29 ms/batch on this tunnel)
             x = self._put_global(imgs)
             dets = self.eval_step(self.state, x)
-            dets = {k: np.asarray(v)[:B] for k, v in dets.items()}
+            dets = {k: self._fetch_local_rows(v)[:B] for k, v in dets.items()}
             if B == 0:
                 continue
             H, W = batch["images"].shape[1:3]
