@@ -34,6 +34,7 @@ class DFINE(nn.Module):
     cfg: ModelConfig
     num_classes: int = 80
     msda_impl: str = "xla"
+    stem_impl: str = "conv"  # "dots": tap-dot stem convs in train graphs
     fast_topk: bool = False  # serving: approx_max_k query selection
     deploy: bool = False  # reparam-fused inference graph (deploy/reparam.py)
     stem_external: bool = False  # serving: input is the precomputed stem output
@@ -50,7 +51,7 @@ class DFINE(nn.Module):
         feats = HGNetv2(
             arch=b.name, return_idx=b.return_idx, use_lab=b.use_lab,
             freeze_norm=b.freeze_norm,
-            stem_external=self.stem_external,
+            stem_external=self.stem_external, stem_impl=self.stem_impl,
             dtype=self.backbone_dtype or self.dtype, name="backbone",
         )(x, train=train)
         feats = HybridEncoder(
@@ -229,6 +230,7 @@ def build_model(
     rng: Optional[jax.Array] = None,
     train_batch: int = 2,
     msda_impl: str = "xla",
+    stem_impl: str = "conv",
     dtype: Optional[Any] = None,
 ):
     """Construct model + fully initialized variables (reference dfine.py:51-70).
@@ -237,7 +239,8 @@ def build_model(
     (all heads, denoising embed) is created regardless of later usage.
     """
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    model = DFINE(cfg=cfg, num_classes=num_classes, msda_impl=msda_impl, dtype=dtype)
+    model = DFINE(cfg=cfg, num_classes=num_classes, msda_impl=msda_impl,
+                  stem_impl=stem_impl, dtype=dtype)
     H, W = img_size
     dummy_x = jnp.zeros((train_batch, H, W, 3), jnp.float32)
     G = cfg.max_gt

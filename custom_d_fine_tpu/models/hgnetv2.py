@@ -95,6 +95,7 @@ class StemBlock(nn.Module):
     out_chs: int
     use_lab: bool = False
     frozen_norm: bool = False
+    conv_impl: str = "conv"  # "dots": tap-dot convs in train graphs (layers.dot_conv)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -108,7 +109,7 @@ class StemBlock(nn.Module):
         (reference semantics: torch F.pad(x,(0,1,0,1)) + 2x2 valid convs +
         ceil-mode maxpool, hgnetv2.py:115-166)."""
         kw = dict(use_lab=self.use_lab, frozen_norm=self.frozen_norm,
-                  dtype=self.dtype, flat_act=True)
+                  dtype=self.dtype, flat_act=True, conv_impl=self.conv_impl)
         B, Hin, Win = x.shape[:3]
         C = self.mid_chs
         # stem1: k3 s2 pad(1,1) output size
@@ -221,6 +222,7 @@ class HGNetv2(nn.Module):
     # serving option: the input is already the stem output (computed by the
     # fused Pallas stem kernel, ops/pallas/stem.py) — skip StemBlock
     stem_external: bool = False
+    stem_impl: str = "conv"  # "dots": tap-dot stem convs in train graphs
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -230,7 +232,7 @@ class HGNetv2(nn.Module):
         if not self.stem_external:
             x = StemBlock(
                 stem_chs[1], stem_chs[2], use_lab=self.use_lab,
-                frozen_norm=self.freeze_norm,
+                frozen_norm=self.freeze_norm, conv_impl=self.stem_impl,
                 dtype=self.dtype, name="stem",
             )(x, train=train)
         outs = []

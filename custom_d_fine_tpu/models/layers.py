@@ -195,6 +195,56 @@ class FlatBatchNorm(nn.Module):
         return y.astype(dt)
 
 
+class _Kernel(nn.Module):
+    """Declares a conv kernel param identical to nn.Conv's (same path
+    "<name>/kernel", shape [kh,kw,ci,co], lecun_normal init, f32) without
+    instantiating the conv — used by the tap-dot conv path so the variable
+    tree (checkpoints, converters, init RNG draws) is unchanged."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+def dot_conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+             pad, dtype: Optional[Dtype]) -> jnp.ndarray:
+    """Dense conv as a sum of per-tap channel dots (training stem path).
+
+    Why: at stem shapes (C=3..48, 320-640px) XLA's conv emitters are far off
+    the bandwidth roofline — the bs16 D-FINE-m profile (2026-08-19) shows
+    ~6.4 ms/step of conv-backward-filter fusions and ~5 ms of fused
+    conv+BN-stat forward for <1% of the step's FLOPs. Decomposing the conv
+    into one dot_general per kernel tap makes autodiff produce reduction
+    DOTS for d/dW ([C, B*H*W] @ [B*H*W, Cout] — MXU, bandwidth-bound)
+    instead of the conv-bwd-filter emitter, and plain dots + pads for d/dx.
+
+    Numerics: each tap dot accumulates in f32 (preferred_element_type) and
+    taps are summed in f32, rounding once at the end — same single-rounding
+    contract as lax.conv with bf16 operands (up to reassociation).
+    """
+    kh, kw, ci, co = kernel.shape
+    if dtype is not None:
+        x, kernel = x.astype(dtype), kernel.astype(dtype)
+    if any(p != (0, 0) for p in pad):
+        x = jnp.pad(x, ((0, 0), tuple(pad[0]), tuple(pad[1]), (0, 0)))
+    B, Hp, Wp, _ = x.shape
+    ho = (Hp - kh) // stride + 1
+    wo = (Wp - kw) // stride + 1
+    acc = None
+    for r in range(kh):
+        for t in range(kw):
+            v = jax.lax.slice(
+                x, (0, r, t, 0),
+                (B, r + (ho - 1) * stride + 1, t + (wo - 1) * stride + 1, ci),
+                (1, stride, stride, 1))
+            y = jax.lax.dot_general(v, kernel[r, t], (((3,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    return acc.astype(x.dtype)
+
+
 class LearnableAffineBlock(nn.Module):
     """Scalar scale*x + bias (reference hgnetv2.py:25-32)."""
 
@@ -225,6 +275,7 @@ class ConvBNAct(nn.Module):
     frozen_norm: bool = False
     flat_act: bool = False  # True => BN/relu/LAB on a flat [B,H,W*C] view and
     # RETURN the flat tensor (full-lane tiling for small C; see FlatBatchNorm)
+    conv_impl: str = "conv"  # "dots" => tap-dot conv in TRAIN graphs (see dot_conv)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -234,11 +285,16 @@ class ConvBNAct(nn.Module):
         else:
             p = (self.kernel_size - 1) // 2
             pad = [(p, p), (p, p)]
-        x = conv2d(
-            self.out_chs, self.kernel_size, strides=(self.stride, self.stride),
-            padding=pad, groups=self.groups, use_bias=False, dtype=self.dtype,
-            name="conv", prefer_dot=not train,
-        )(x)
+        if self.conv_impl == "dots" and train and self.groups == 1:
+            kern = _Kernel((self.kernel_size, self.kernel_size,
+                            x.shape[-1], self.out_chs), name="conv")()
+            x = dot_conv(x, kern, self.stride, pad, self.dtype)
+        else:
+            x = conv2d(
+                self.out_chs, self.kernel_size, strides=(self.stride, self.stride),
+                padding=pad, groups=self.groups, use_bias=False, dtype=self.dtype,
+                name="conv", prefer_dot=not train,
+            )(x)
         if self.flat_act:
             x = FlatBatchNorm(frozen=self.frozen_norm, dtype=self.dtype,
                               name="norm")(x, train=train)  # [B, H, W*C]

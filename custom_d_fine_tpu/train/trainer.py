@@ -177,6 +177,12 @@ class Trainer:
             msda_impl=resolve_impl(t.get(
                 "msda_impl",
                 "fast" if self.dtype == jnp.bfloat16 else "auto")),
+            # tap-dot stem convs in the train graph (layers.dot_conv): same
+            # math (tests/test_dot_stem.py) but MEASURED SLOWER on TPU v5e
+            # (78.8 vs 103.5 img/s bs16 bf16, 2026-08-19) — the strided tap
+            # slices re-read the stem activations 4-9x and XLA materializes
+            # them. Kept as an opt-in for other shapes/hardware.
+            stem_impl=t.get("stem_impl", "conv"),
         )
         if self.model_cfg.backbone.pretrained and not t.get("pretrained_model_path"):
             # ImageNet stage-1 backbone init (reference hgnetv2.py:490-545);

@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def main(batch=8, size="m", dtype=None, msda_impl="fast", k=1):
+def main(batch=8, size="m", dtype=None, msda_impl="fast", k=1, stem_impl="conv"):
     """k = optimizer steps per host dispatch (make_train_multi_step). k>1
     amortizes the ~76-148 ms/dispatch host cost of the donated TrainState —
     the measured wall once the device step drops near the dispatch time."""
@@ -49,7 +49,8 @@ def main(batch=8, size="m", dtype=None, msda_impl="fast", k=1):
 
     model, variables = build_model(cfg, num_classes=NC, img_size=(IMG, IMG), train_batch=2,
                                    dtype=compute_dtype,
-                                   msda_impl=resolve_impl(msda_impl))
+                                   msda_impl=resolve_impl(msda_impl),
+                                   stem_impl=stem_impl)
     criterion = DFINECriterion(cfg.criterion, cfg.matcher, num_classes=NC,
                                num_queries=cfg.decoder.num_queries)
     tx = build_optimizer(variables["params"], cfg, base_lr=1.5e-4, backbone_lr=2e-5,
@@ -117,6 +118,7 @@ def main(batch=8, size="m", dtype=None, msda_impl="fast", k=1):
         "steps_per_dispatch": k,
         "batch": B,
         "msda_impl": resolve_impl(msda_impl),
+        "stem_impl": stem_impl,
         "loss": round(loss, 3),
         "hbm_peak_mb": round(mem.get("peak_bytes_mb", 0)),
         "hbm_limit_mb": round(mem.get("bytes_limit_mb", 0)),
@@ -130,4 +132,5 @@ if __name__ == "__main__":
     dt = sys.argv[3] if len(sys.argv) > 3 else None
     impl = sys.argv[4] if len(sys.argv) > 4 else "fast"
     k = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-    print(json.dumps(main(b, s, dt, impl, k)))
+    stem = sys.argv[6] if len(sys.argv) > 6 else "conv"
+    print(json.dumps(main(b, s, dt, impl, k, stem)))

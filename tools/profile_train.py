@@ -33,7 +33,8 @@ def categorize(name: str) -> str:
     return "other"
 
 
-def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40, msda_impl="fast"):
+def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40, msda_impl="fast",
+         stem_impl="conv"):
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +55,8 @@ def main(batch=8, size="m", dtype="bfloat16", n=8, top_k=40, msda_impl="fast"):
 
     model, variables = build_model(cfg, num_classes=NC, img_size=(IMG, IMG),
                                    train_batch=2, dtype=compute_dtype,
-                                   msda_impl=resolve_impl(msda_impl))
+                                   msda_impl=resolve_impl(msda_impl),
+                                   stem_impl=stem_impl)
     criterion = DFINECriterion(cfg.criterion, cfg.matcher, num_classes=NC,
                                num_queries=cfg.decoder.num_queries)
     tx = build_optimizer(variables["params"], cfg, base_lr=1.5e-4,
@@ -105,4 +107,5 @@ if __name__ == "__main__":
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     impl = sys.argv[5] if len(sys.argv) > 5 else "fast"
     tk = int(sys.argv[6]) if len(sys.argv) > 6 else 40
-    main(b, s, dt, n, top_k=tk, msda_impl=impl)
+    stem = sys.argv[7] if len(sys.argv) > 7 else "conv"
+    main(b, s, dt, n, top_k=tk, msda_impl=impl, stem_impl=stem)
