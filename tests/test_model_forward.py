@@ -44,8 +44,12 @@ def test_train_forward_structure(small_model):
     assert out["pre_outputs"]["pred_boxes"].shape == (2, Q, 4)
     num_dn = out["dn_meta"]["num_dn"]
     assert out["dn_outputs"][0]["pred_logits"].shape == (2, num_dn, 4)
-    # dn positive slots: 3 valid GT x num_group
-    assert int(out["dn_meta"]["positive"].sum()) == 3 * 2 * out["dn_meta"]["num_group"]
+    # dn positive slots: cycle-fill packs EVERY positive slot for images with
+    # >=1 valid GT (reference builds groups per-batch, denoising.py:69-79),
+    # so positives = B x num_group x dn_max_gt
+    num_group = int(out["dn_meta"]["num_group"])
+    dn_max_gt = num_dn // (2 * num_group)
+    assert int(out["dn_meta"]["positive"].sum()) == 2 * num_group * dn_max_gt
     for k, v in out.items():
         if isinstance(v, jnp.ndarray):
             assert np.isfinite(np.asarray(v)).all(), k
