@@ -395,8 +395,10 @@ def _level_bwd_sep(value_l, loc, attn, g_r, H, W, P, exact, out_dtypes):
     return dv.astype(v_dtype), dloc.astype(l_dtype), dattn.astype(a_dtype)
 
 
-# below this the compare-accumulate bwd kernel wins (K=H starves the MXU)
-_SEP_BWD_MIN_HW = 1024
+# below this the compare-accumulate bwd kernel wins (K=H starves the MXU);
+# MSDA_SEP_BWD_MIN_HW overrides for on-device A/Bs (e.g. 256 routes the
+# 20x20=400 level through the MXU kernel too — PERF.md §6 open item)
+_SEP_BWD_MIN_HW = int(_os.environ.get("MSDA_SEP_BWD_MIN_HW", "1024"))
 
 
 def _msda_sep_bwd_impl(value, spatial_shapes, loc_all, attn_all,

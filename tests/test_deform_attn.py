@@ -258,6 +258,40 @@ def test_pallas_sep_backward_large_level_matches_xla_grads():
                                    atol=1e-5, err_msg=name)
 
 
+def test_pallas_sep_backward_small_level_threshold_override(monkeypatch):
+    """The 20x20=400 level routed through the separable MXU BWD kernel —
+    exactly what MSDA_SEP_BWD_MIN_HW=256 does on device (PERF.md §6 open
+    item) — must match jax.grad of the gather reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from custom_d_fine_tpu.ops.pallas import msda_sep
+
+    monkeypatch.setattr(msda_sep, "_SEP_BWD_MIN_HW", 256)
+    rng = np.random.default_rng(13)
+    B, Lq, nh, c = 2, 5, 2, 8
+    shapes = [(20, 20)]
+    points = [4]
+    P = sum(points)
+    Lv = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.normal(size=(B, Lv, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.15, 1.15, size=(B, Lq, nh, P, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(B, Lq, nh, P)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, Lq, nh * c)), jnp.float32)
+
+    def f_sep(v, l, a):
+        return (msda_sep.ms_deform_attn_sep(v, shapes, l, a, points) * cot).sum()
+
+    def f_xla(v, l, a):
+        return (ms_deform_attn_xla(v, shapes, l, a, points) * cot).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(f_sep, argnums=(0, 1, 2))(value, loc, w)
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(value, loc, w)
+    for name, a, b in zip(("dvalue", "dloc", "dattn"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+
+
 def test_bwd_pick_tile_contract():
     """_pick_tile must return a multiple of 128 within cap that never pads
     worse than the old min(round_up(HW,128), 1024) policy, and hits the two
