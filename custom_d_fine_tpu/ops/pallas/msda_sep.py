@@ -397,8 +397,18 @@ def _level_bwd_sep(value_l, loc, attn, g_r, H, W, P, exact, out_dtypes):
 
 # below this the compare-accumulate bwd kernel wins (K=H starves the MXU);
 # MSDA_SEP_BWD_MIN_HW overrides for on-device A/Bs (e.g. 256 routes the
-# 20x20=400 level through the MXU kernel too — PERF.md §6 open item)
-_SEP_BWD_MIN_HW = int(_os.environ.get("MSDA_SEP_BWD_MIN_HW", "1024"))
+# 20x20=400 level through the MXU kernel too — PERF.md §6 open item).
+# Read ONCE at import: setting the env var after this module is imported has
+# no effect (re-import / fresh process to change it).
+try:
+    _SEP_BWD_MIN_HW = int(_os.environ.get("MSDA_SEP_BWD_MIN_HW", "1024"))
+except ValueError:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"MSDA_SEP_BWD_MIN_HW={_os.environ['MSDA_SEP_BWD_MIN_HW']!r} is not "
+        "an integer; falling back to 1024", stacklevel=1)
+    _SEP_BWD_MIN_HW = 1024
 
 
 def _msda_sep_bwd_impl(value, spatial_shapes, loc_all, attn_all,

@@ -139,6 +139,31 @@ def test_pad_to_mesh_shapes():
     assert out8["images"].shape[0] == 8 and out8["image_valid"].all()
 
 
+def test_uint8_wire_path_matches_f32(setup):
+    """The production wire format (uint8 images, normalized to f32/255 INSIDE
+    the jitted step — trainer.py flush() and tools/bench_train.py both ship
+    this) computes the same update as pre-normalized f32 input. Tolerance is
+    the cross-compilation reassociation bound from the multi-step test: the
+    two jits differ only in input dtype, so a real normalize bug (double /255,
+    missing /255) shows up at 1e-1+, not 1e-4."""
+    cfg, model, criterion, tx, state = setup
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, (2, IMG, IMG, 3)).astype(np.uint8)
+    t = make_targets(2, cfg.max_gt, 4, rng)
+
+    step_fn = jax.jit(make_train_step(model, criterion, tx))
+    key = jax.random.PRNGKey(5)
+    s_u8, m_u8 = step_fn(state, {"images": jnp.asarray(u8), **t}, key)
+    s_f32, m_f32 = step_fn(
+        state, {"images": jnp.asarray(u8.astype(np.float32) / 255.0), **t}, key)
+
+    np.testing.assert_allclose(float(m_u8["total_loss"]),
+                               float(m_f32["total_loss"]), rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_u8.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_f32.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=5e-4)
+
+
 def test_multi_step_matches_sequential_single_steps(setup):
     """lax.scan-of-K dispatch (make_train_multi_step) computes the same
     update SEQUENCE as K sequential single-step dispatches with the same
