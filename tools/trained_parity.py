@@ -181,7 +181,193 @@ def train(steps=120, segment=False, obj365=False):
     print(f"saved {path}")
 
 
-def train_torch_conv(steps=120, seed=0):
+def _install_dl_stubs():
+    """Stub the reference src/dl/utils.py module-level imports that are not in
+    this image (albumentations, wandb, faster_coco_eval) so its PURE GEOMETRY
+    functions (get_mosaic_coordinate, random_affine, box_candidates — the
+    mosaic/affine math the aug-parity contract is about) are importable for
+    the aug-ON torch arm. Only these geometry functions are used; none of the
+    stubbed libraries' behavior is exercised."""
+    import types
+
+    from parity_check import _install_stubs
+
+    _install_stubs()
+    if "albumentations" not in sys.modules:
+        alb = types.ModuleType("albumentations")
+        core = types.ModuleType("albumentations.core")
+        ti = types.ModuleType("albumentations.core.transforms_interface")
+
+        class DualTransform:  # only subclassed, never applied
+            def __init__(self, *a, **k):
+                pass
+
+        ti.DualTransform = DualTransform
+        core.transforms_interface = ti
+        alb.core = core
+        sys.modules["albumentations"] = alb
+        sys.modules["albumentations.core"] = core
+        sys.modules["albumentations.core.transforms_interface"] = ti
+    if "wandb" not in sys.modules:
+        sys.modules["wandb"] = types.ModuleType("wandb")
+    if "faster_coco_eval" not in sys.modules:
+        fce = types.ModuleType("faster_coco_eval")
+        fcore = types.ModuleType("faster_coco_eval.core")
+        fmask = types.ModuleType("faster_coco_eval.core.mask")
+        fcore.mask = fmask
+        fce.core = fcore
+        sys.modules["faster_coco_eval"] = fce
+        sys.modules["faster_coco_eval.core"] = fcore
+        sys.modules["faster_coco_eval.core.mask"] = fmask
+
+
+def _photometric_geo_augs(img, boxes, p):
+    """The reference train-aug stack (dataset.py:133-161 op order and default
+    config.yaml:93-105 probabilities) for the NON-mosaic path, implemented
+    independently of both albumentations and this repo's data/augs.py (so the
+    torch arm's diet does not share aug code with the JAX arm under test).
+    img: uint8 HWC RGB; boxes: abs xyxy float32 [N,4]. Returns same formats.
+    Letterbox is identity here (synthetic images are already target-size)."""
+    import random
+
+    import cv2
+
+    H, W = img.shape[:2]
+    img = img.copy()
+    boxes = boxes.copy()
+    # CoarseDropout p=0.0 by default — skipped
+    if random.random() < p["brightness"]:  # RandomBrightnessContrast(0.2,0.2)
+        alpha = 1.0 + random.uniform(-0.2, 0.2)
+        beta = random.uniform(-0.2, 0.2) * 255
+        img = np.clip(img.astype(np.float32) * alpha + beta, 0, 255).astype(np.uint8)
+    if random.random() < p["gamma"]:  # RandomGamma(80,120)
+        g = random.uniform(0.8, 1.2)
+        img = (np.power(img.astype(np.float32) / 255.0, g) * 255).astype(np.uint8)
+    if random.random() < p["blur"]:  # Blur(limit 3..7)
+        k = random.choice([3, 5, 7])
+        img = cv2.blur(img, (k, k))
+    if random.random() < p["noise"]:  # GaussNoise std_range (0.1,0.2) of 255
+        std = random.uniform(0.1, 0.2) * 255
+        img = np.clip(img.astype(np.float32)
+                      + np.random.normal(0, std, img.shape), 0, 255).astype(np.uint8)
+    if random.random() < p["to_gray"]:
+        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        img = np.repeat(gray[..., None], 3, 2)
+    if random.random() < p["rotate_90"]:  # A.Affine(rotate=[90,90]) on square
+        img = np.ascontiguousarray(np.rot90(img))  # CCW: (x,y)->(y, W-1-x)
+        if len(boxes):
+            x1, y1, x2, y2 = boxes.T.copy()
+            boxes = np.stack([y1, W - 1 - x2, y2, W - 1 - x1], 1)
+    if random.random() < p["left_right_flip"]:
+        img = np.ascontiguousarray(img[:, ::-1])
+        if len(boxes):
+            x1 = boxes[:, 0].copy()
+            boxes[:, 0] = W - boxes[:, 2]
+            boxes[:, 2] = W - x1
+    # up_down_flip p=0.0 by default — skipped
+    if random.random() < p["rotation_p"]:  # A.Rotate(limit) enclosing-box
+        ang = random.uniform(-p["rotation_degree"], p["rotation_degree"])
+        M = cv2.getRotationMatrix2D((W / 2, H / 2), ang, 1.0)
+        img = cv2.warpAffine(img, M, (W, H), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_CONSTANT,
+                             borderValue=(114, 114, 114))
+        if len(boxes):
+            x1, y1, x2, y2 = boxes.T
+            corners = np.stack([np.stack([x1, y1], 1), np.stack([x2, y1], 1),
+                                np.stack([x2, y2], 1), np.stack([x1, y2], 1)], 1)
+            rot = corners @ M[:, :2].T + M[:, 2]
+            boxes = np.concatenate([rot.min(1), rot.max(1)], 1)
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, W)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, H)
+    return img, boxes
+
+
+def _torch_aug_sample(idx, images_u8, targets, mosaic_prob, aug_p):
+    """One aug-ON training sample the way the reference CustomDataset builds
+    it (dataset.py:384-466): mosaic with prob mosaic_prob via the reference's
+    OWN geometry (src/dl/utils.py get_mosaic_coordinate + random_affine,
+    reference mosaic_augs defaults scale [0.5,1.5] translate 0.2 shear 2.0
+    degrees 0), else the photometric stack + (identity) letterbox. Returns
+    (img f32 HWC /255, labels int64 np, boxes normalized cxcywh f32 np)."""
+    import random
+
+    import cv2
+
+    from src.dl.utils import (
+        abs_xyxy_to_norm_xywh,
+        get_mosaic_coordinate,
+        random_affine,
+    )
+
+    H = W = IMG
+    if random.random() < mosaic_prob:
+        yc = int(random.uniform(H * 0.6, H * 1.4))
+        xc = int(random.uniform(W * 0.6, W * 1.4))
+        indices = [idx] + [random.randint(0, len(images_u8) - 1)
+                           for _ in range(3)]
+        canvas = np.full((H * 2, W * 2, 3), 114, dtype=np.uint8)
+        all_t = []
+        for i_m, m_idx in enumerate(indices):
+            img = images_u8[m_idx]
+            t = targets[m_idx]
+            b = t["boxes"]  # normalized cxcywh
+            xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * W,
+                             (b[:, 1] - b[:, 3] / 2) * H,
+                             (b[:, 0] + b[:, 2] / 2) * W,
+                             (b[:, 1] + b[:, 3] / 2) * H], 1).astype(np.float32)
+            tgt = np.concatenate(
+                [t["labels"].astype(np.float32)[:, None], xyxy], 1)
+            (l_x1, l_y1, l_x2, l_y2), (s_x1, s_y1, s_x2, s_y2) = \
+                get_mosaic_coordinate(canvas, i_m, xc, yc, W, H, H, W)
+            canvas[l_y1:l_y2, l_x1:l_x2] = img[s_y1:s_y2, s_x1:s_x2]
+            padw, padh = l_x1 - s_x1, l_y1 - s_y1
+            if tgt.size:
+                tgt[:, [1, 3]] += padw
+                tgt[:, [2, 4]] += padh
+            all_t.append(tgt)
+        all_t = np.concatenate(all_t, 0)
+        if all_t.size:
+            all_t[:, [1, 3]] = all_t[:, [1, 3]].clip(0, 2 * W)
+            all_t[:, [2, 4]] = all_t[:, [2, 4]].clip(0, 2 * H)
+        img, all_t, _ = random_affine(
+            canvas, all_t if len(all_t) else np.zeros((0, 5), np.float32), [],
+            target_size=(W, H), degrees=0.0, translate=0.2,
+            scales=(0.5, 1.5), shear=2.0)
+        if all_t.shape[0]:  # reference tiny-box filter (dataset.py:355-360)
+            keep = np.minimum(all_t[:, 3] - all_t[:, 1],
+                              all_t[:, 4] - all_t[:, 2]) > 1
+            all_t = all_t[keep]
+        labels = all_t[:, 0].astype(np.int64)
+        xyxy = all_t[:, 1:5].astype(np.float32)
+    else:
+        img = images_u8[idx]
+        t = targets[idx]
+        b = t["boxes"]
+        xyxy = np.stack([(b[:, 0] - b[:, 2] / 2) * W,
+                         (b[:, 1] - b[:, 3] / 2) * H,
+                         (b[:, 0] + b[:, 2] / 2) * W,
+                         (b[:, 1] + b[:, 3] / 2) * H], 1).astype(np.float32) \
+            if len(b) else np.zeros((0, 4), np.float32)
+        labels = t["labels"].astype(np.int64)
+        img, xyxy = _photometric_geo_augs(img, xyxy, aug_p)
+        if len(xyxy):  # reference tiny-box filter (dataset.py:404-409)
+            keep = np.minimum(xyxy[:, 2] - xyxy[:, 0],
+                              xyxy[:, 3] - xyxy[:, 1]) > 0
+            xyxy, labels = xyxy[keep], labels[keep]
+    boxes_norm = (abs_xyxy_to_norm_xywh(xyxy, H, W).astype(np.float32)
+                  if len(xyxy) else np.zeros((0, 4), np.float32))
+    return img.astype(np.float32) / 255.0, labels, boxes_norm
+
+
+REF_AUG_P = {  # reference config.yaml:93-105 train.augs defaults
+    "rotation_degree": 10, "rotation_p": 0.05, "rotate_90": 0.05,
+    "left_right_flip": 0.3, "up_down_flip": 0.0, "to_gray": 0.01,
+    "blur": 0.01, "gamma": 0.02, "brightness": 0.02, "noise": 0.01,
+    "coarse_dropout": 0.0,
+}
+
+
+def train_torch_conv(steps=120, seed=0, augs=False):
     """Torch arm of the train-from-scratch CONVERGENCE A/B (VERDICT round-3
     item 1): the actual torch reference model trained with the reference
     Trainer's own recipe — 4-group AdamW (dfine.py:87-124) + OneCycleLR
@@ -191,19 +377,25 @@ def train_torch_conv(steps=120, seed=0):
     EMA weights saved (train.py:476-485 evaluates/saves the EMA model)."""
     import copy
     import math
+    import random
 
     from parity_check import _install_stubs
 
     _install_stubs()
+    if augs:
+        _install_dl_stubs()
     import torch
 
     torch.manual_seed(seed)
+    random.seed(seed)
+    np.random.seed(seed)
     torch.set_num_threads(1)
     sys.path.insert(0, "/root/reference")
     from src.d_fine.dfine import build_loss, build_model, build_optimizer
 
     make_dataset()
     images, targets = load_split("train")
+    images_u8 = (images * 255).round().astype(np.uint8)
     model = build_model(SIZE, num_classes=NUM_CLASSES, enable_mask_head=False,
                         device="cpu", img_size=[IMG, IMG])
     # save the INIT state too — the init-transplant diagnostic trains the JAX
@@ -228,12 +420,28 @@ def train_torch_conv(steps=120, seed=0):
     model.train()
     rng = np.random.default_rng(seed)
     B = 4
+    # aug-ON arm: mosaic for all but the last no_mosaic_epochs=2 "epochs"
+    # (12 steps each), matching the reference Trainer's close_mosaic schedule
+    # (train.py:631-634) and the JAX arm's trainer.py:428
+    close_mosaic_step = steps - 2 * 12
     t0 = time.time()
     for it in range(steps):
         idx = rng.choice(len(images), B, replace=False)
-        x = torch.from_numpy(images[idx].transpose(0, 3, 1, 2)).contiguous()
-        tg = [{"labels": torch.from_numpy(targets[i]["labels"]),
-               "boxes": torch.from_numpy(targets[i]["boxes"])} for i in idx]
+        if augs:
+            mos_p = 0.8 if it < close_mosaic_step else 0.0
+            samples = [_torch_aug_sample(i, images_u8, targets, mos_p,
+                                         REF_AUG_P) for i in idx]
+            x = torch.from_numpy(
+                np.stack([s[0] for s in samples]).transpose(0, 3, 1, 2)
+            ).contiguous()
+            tg = [{"labels": torch.from_numpy(s[1]),
+                   "boxes": torch.from_numpy(s[2])} for s in samples]
+        else:
+            x = torch.from_numpy(
+                images[idx].transpose(0, 3, 1, 2)).contiguous()
+            tg = [{"labels": torch.from_numpy(targets[i]["labels"]),
+                   "boxes": torch.from_numpy(targets[i]["boxes"])}
+                  for i in idx]
         out = model(x, targets=tg)
         losses = crit(out, tg)
         total = sum(losses.values())
@@ -254,7 +462,8 @@ def train_torch_conv(steps=120, seed=0):
             print(f"step {it}/{steps} loss={float(total):.3f} "
                   f"lr={sched.get_last_lr()[0]:.2e} ({dt / (it + 1):.1f}s/step)",
                   flush=True)
-    path = _seed_path(CONV_CKPT, seed)
+    base = CONV_CKPT.replace(".pth", "_aug.pth") if augs else CONV_CKPT
+    path = _seed_path(base, seed)
     torch.save(ema_model.state_dict(), path)
     print(f"saved {path}")
 
@@ -279,7 +488,7 @@ def save_conv_init(seed=0):
     print(f"saved {path}")
 
 
-def train_jax_conv(steps=120, seed=0, torch_init=False):
+def train_jax_conv(steps=120, seed=0, torch_init=False, augs=False):
     """JAX arm of the convergence A/B: trains THIS framework end-to-end
     through the real Trainer (data/loader.py, train/trainer.py — EMA,
     OneCycle, CDN denoising, on-device JV matcher, orbax ckpts) on the same
@@ -302,7 +511,7 @@ def train_jax_conv(steps=120, seed=0, torch_init=False):
     assert steps % 12 == 0, "steps must be a multiple of 12 (48 imgs / bs 4)"
     cfg = load_config(overrides=[
         f"train.data_path={DS}",
-        f"train.path_to_save=/tmp/tp_jax_run_s{seed}",
+        f"train.path_to_save=/tmp/tp_jax_run{'_aug' if augs else ''}_s{seed}",
         f"train.epochs={steps // 12}",
         "train.batch_size=4",
         "train.num_workers=2",
@@ -320,6 +529,17 @@ def train_jax_conv(steps=120, seed=0, torch_init=False):
         "train.dtype=float32",
         f"train.seed={seed}",
         "train.to_visualize_eval=false",
+        f"model_name={SIZE}",
+        "exp_name=conv_parity",
+    ] + ([
+        # aug-ON pair (VERDICT round-4 item 3): this framework's OWN aug
+        # stack (data/augs.py + data/mosaic.py) at the reference's default
+        # probabilities (config.yaml:85-105), mosaic closed for the last 2
+        # epochs — mirrored step-for-step by train_torch_conv(augs=True),
+        # whose geometry comes from the reference's src/dl/utils.py itself.
+        "train.mosaic_augs.mosaic_prob=0.8",
+        "train.mosaic_augs.no_mosaic_epochs=2",
+    ] if augs else [
         "train.mosaic_augs.mosaic_prob=0.0",
         "train.mosaic_augs.no_mosaic_epochs=0",
         "train.augs.rotation_p=0", "train.augs.rotate_90=0",
@@ -327,9 +547,7 @@ def train_jax_conv(steps=120, seed=0, torch_init=False):
         "train.augs.to_gray=0", "train.augs.blur=0", "train.augs.gamma=0",
         "train.augs.brightness=0", "train.augs.noise=0",
         "train.augs.coarse_dropout=0", "train.augs.multiscale_prob=0",
-        f"model_name={SIZE}",
-        "exp_name=conv_parity",
-    ] + ([
+    ]) + ([
         # init-transplant diagnostic: start from the torch arm's EXACT init
         # weights (save_conv_init) so any remaining quality gap is training
         # dynamics, not init distribution
@@ -341,7 +559,7 @@ def train_jax_conv(steps=120, seed=0, torch_init=False):
     print(f"jax training done in {(time.time() - t0) / 60:.1f} min "
           f"(final step {int(trainer.state.step)})")
     ema = jax.tree_util.tree_map(np.asarray, trainer.state.ema)
-    suffix = "_ti" if torch_init else ""
+    suffix = ("_aug" if augs else "") + ("_ti" if torch_init else "")
     out = _seed_path(JAX_CONV.replace(".msgpack", f"{suffix}.msgpack"), seed)
     Path(out).write_bytes(flax.serialization.to_bytes(ema))
     Path(_seed_path(JAX_CONV_HISTORY.replace(".json", f"{suffix}.json"),
@@ -352,14 +570,18 @@ def train_jax_conv(steps=120, seed=0, torch_init=False):
 
 
 def evaluate_conv(seeds=(0,)):
-    """Compare the two trained-from-scratch arms on the held-out val split
+    """Compare the torch and jax convergence arms on the held-out val split
     with the identical top-300 protocol, across every seed whose artifacts
-    exist. Contract (VERDICT round-3 item 1): |mean mAP@50_jax - mean
-    mAP@50_torch| <= 0.05 on this set — the scaled proxy for BASELINE.md's
-    0.5-mAP trained-parity contract — OR the per-seed ranges overlap (the
-    16-image val metric has measured seed spread comparable to the
-    threshold; overlapping ranges mean the arms are indistinguishable from
-    seed noise)."""
+    exist.
+
+    PRIMARY contract (paired-init protocol, VERDICT round-4 item 2): for each
+    seed, the JAX arm trained from the torch arm's EXACT init weights
+    (`train_jax_conv ... torch_init`) vs the torch arm itself — identical
+    inits remove the init lottery, so mean |mAP@50 delta| <= 0.05 isolates
+    training DYNAMICS (optimizer grouping, OneCycle, EMA warmup, CDN,
+    matcher, criterion). SECONDARY: independent-init from-scratch arms where
+    their artifacts exist (ranges-overlap clause; init-lottery noise
+    documented)."""
     import flax.serialization
 
     from parity_check import _install_stubs
@@ -386,116 +608,252 @@ def evaluate_conv(seeds=(0,)):
     template = {"params": variables["params"],
                 "batch_stats": variables["batch_stats"]}
 
-    tq_all, jq_all, used_seeds, curves = [], [], [], []
-    ti_rows = []  # init-transplant control arms (train_jax_conv torch_init)
+    def torch_q(seed):
+        model = build_model(SIZE, num_classes=NUM_CLASSES,
+                            enable_mask_head=False, device="cpu",
+                            img_size=[IMG, IMG])
+        model.load_state_dict(torch.load(_seed_path(CONV_CKPT, seed),
+                                         map_location="cpu",
+                                         weights_only=False))
+        print(f"seed {seed}: torch(EMA) eval...", flush=True)
+        return _quality(_torch_detections(model, images), targets)
+
+    def jax_q(path, tag, seed):
+        ema = flax.serialization.from_bytes(template, Path(path).read_bytes())
+        print(f"seed {seed}: jax {tag} eval...", flush=True)
+        return _quality(_jax_detections(ema, images), targets)
+
+    # ---- primary: paired-init (transplant) pairs -------------------------
+    pair_seeds, pt50, pj50, pt_full, pj_full = [], [], [], [], []
+    torch_cache = {}
     for seed in seeds:
         tipath = _seed_path(JAX_CONV.replace(".msgpack", "_ti.msgpack"), seed)
-        if Path(tipath).exists():
-            ti_rows.append((seed, tipath))
-        tpath, jpath = _seed_path(CONV_CKPT, seed), _seed_path(JAX_CONV, seed)
+        if not (Path(_seed_path(CONV_CKPT, seed)).exists()
+                and Path(tipath).exists()):
+            print(f"seed {seed}: transplant-pair artifacts missing, skipping")
+            continue
+        torch_cache[seed] = torch_q(seed)
+        q = jax_q(tipath, "TORCH-INIT transplant", seed)
+        pair_seeds.append(seed)
+        pt50.append(torch_cache[seed]["mAP_50"])
+        pj50.append(q["mAP_50"])
+        pt_full.append(torch_cache[seed])
+        pj_full.append(q)
+
+    # ---- secondary: independent-init from-scratch arms -------------------
+    fs_seeds, ft, fj, curves = [], [], [], []
+    for seed in seeds:
+        jpath = _seed_path(JAX_CONV, seed)
+        if not (Path(_seed_path(CONV_CKPT, seed)).exists()
+                and Path(jpath).exists()):
+            continue
+        ft.append(torch_cache.get(seed) or torch_q(seed))
+        fj.append(jax_q(jpath, "from-scratch", seed))
+        fs_seeds.append(seed)
+        hpath = Path(_seed_path(JAX_CONV_HISTORY, seed))
+        history = json.loads(hpath.read_text()) if hpath.exists() else []
+        curves.append(" -> ".join(f"{h.get('mAP_50', 0):.3f}" for h in history))
+
+    assert pair_seeds or fs_seeds, "no trained seed artifacts found"
+    pt50, pj50 = np.array(pt50), np.array(pj50)
+    pair_delta = (float(np.abs(pt50 - pj50).mean())
+                  if len(pair_seeds) else float("nan"))
+    ok = bool(len(pair_seeds)) and pair_delta <= 0.05
+    result = {"paired_seeds": pair_seeds,
+              "torch_mAP_50": [round(float(v), 4) for v in pt50],
+              "jax_ti_mAP_50": [round(float(v), 4) for v in pj50],
+              "mean_paired_delta": round(pair_delta, 4),
+              "pass": ok}
+    print(json.dumps(result, indent=2))
+
+    pair_rows = "\n".join(
+        f"| {s} | {t['mAP_50']:.4f} | {j['mAP_50']:.4f} | "
+        f"{j['mAP_50'] - t['mAP_50']:+.4f} | {t['mAP']:.4f} | {j['mAP']:.4f} |"
+        for s, t, j in zip(pair_seeds, pt_full, pj_full))
+    fs_block = ""
+    if fs_seeds:
+        f50t = np.array([q["mAP_50"] for q in ft])
+        f50j = np.array([q["mAP_50"] for q in fj])
+        overlap = (len(fs_seeds) > 1
+                   and f50j.max() >= f50t.min() and f50t.max() >= f50j.min())
+        fs_rows = "\n".join(
+            f"| {s} | {t['mAP_50']:.4f} | {j['mAP_50']:.4f} |"
+            for s, t, j in zip(fs_seeds, ft, fj))
+        curve_lines = "\n".join(f"- seed {s}: {c or 'n/a'}"
+                                for s, c in zip(fs_seeds, curves))
+        fs_block = f"""
+### Secondary: independent-init from-scratch arms
+
+Each arm draws its own init (distributions matched by
+models/dfine.py:apply_torch_default_init; per-seed draws differ), so this
+comparison includes init-lottery noise on a 16-image val metric:
+
+| seed | torch mAP@50 | jax mAP@50 |
+|---|---|---|
+{fs_rows}
+
+- torch mean {f50t.mean():.4f} (range {f50t.min():.3f}-{f50t.max():.3f}),
+  jax mean {f50j.mean():.4f} (range {f50j.min():.3f}-{f50j.max():.3f});
+  per-seed ranges overlap: {overlap}.
+- JAX per-epoch val mAP@50 curves (real Trainer eval):
+{curve_lines}
+"""
+    _write_section("conv", f"""
+**The convergence proof**: both frameworks trained on the same synthetic set
+with the same recipe and compared at the quality level — this jointly
+validates optimizer grouping (dfine.py:87-124), OneCycle schedule
+(train.py:203-221), warmup EMA (train.py:52-73), CDN denoising, the on-device
+JV matcher and the criterion as "training that converges equivalently"
+(SURVEY §7 hard part 6), which no forward/conversion-level parity test covers.
+
+Protocol: D-FINE-{SIZE} {IMG}x{IMG}, {NUM_CLASSES} classes, bs=4, 120
+optimizer steps, AdamW lr 4e-4 / backbone 2e-4 / wd 1e-4 / betas (0.9,0.999),
+OneCycleLR max_lr=8e-4 pct_start=0.1, grad clip 0.1, ModelEMA 0.9998 with
+warmup, fp32, augs/mosaic off (the aug-ON pair is its own section below).
+Torch arm: the reference model driven by the reference's own training recipe
+(`train_torch_conv`). JAX arm: THIS framework end-to-end through the real
+Trainer (threaded Loader, jitted train step, orbax ckpts). Both arms evaluate
+their final EMA weights on the held-out 16-image val split with the identical
+top-300 postprocess.
+
+### Primary: paired-init protocol (identical init weights)
+
+The JAX arm starts from the torch arm's EXACT init state dict
+(`save_conv_init` -> `train_jax_conv ... torch_init`), removing the init
+lottery — any delta is training dynamics:
+
+| seed | torch mAP@50 | jax(torch-init) mAP@50 | delta | torch mAP | jax mAP |
+|---|---|---|---|---|---|
+{pair_rows}
+
+- mean |delta| mAP@50 = **{pair_delta:.4f}** over {len(pair_seeds)} seed(s);
+  contract: <= 0.05.
+- Verdict: **{"PASS" if ok else "FAIL"}**.
+{fs_block}
+### Historical: independent-init arms, 2026-08-19 run (recorded)
+
+From-scratch arms with per-seed init draws (artifacts since cleaned from
+/tmp): torch mAP@50 0.6438/0.7054/0.7521 vs jax 0.6458/0.5518/0.6212 (seeds
+0/1/2) — mean delta 0.0942 with overlapping ranges, and the seed-1 transplant
+control (jax-from-torch-init 0.7295 vs torch 0.7054) attributed the gap to
+init lottery; the paired-init table above is the controlled version of that
+experiment.
+
+- Init/sampling order differ between arms by design (torch IID batches vs
+  Trainer epoch shuffles) — this is a quality-level A/B of training runs,
+  not a step-level numerics test (those live in tools/criterion_parity.py,
+  25/25 terms; gradient-level parity in tools/grad_parity.py at 0.87%
+  rel-L2 / 0.99996 cosine).
+
+Reproduce (per seed s): `python tools/trained_parity.py train_torch_conv 120 s
+&& python tools/trained_parity.py train_jax_conv 120 s torch_init &&
+python tools/trained_parity.py eval_conv s0,s1,...`
+""")
+    print("wrote PARITY_TRAINED.md convergence section;",
+          "PASS" if ok else "FAIL")
+    return ok
+
+
+def evaluate_conv_aug(seeds=(0,)):
+    """Aug-ON convergence pair (VERDICT round-4 item 3): both arms trained
+    under the full reference-default aug recipe — mosaic 0.8 (closed last 2
+    epochs) + photometric stack + letterbox — and compared on the same clean
+    held-out val split. The torch arm's mosaic/affine geometry is the
+    reference's own src/dl/utils.py code; the JAX arm's is this framework's
+    data/mosaic.py + data/augs.py. Paired-init (torch_init) when the ti
+    artifact exists. This is the only level at which mosaic/affine/letterbox
+    parity (SURVEY §7 hard part 6) can actually fail end-to-end."""
+    import flax.serialization
+
+    from parity_check import _install_stubs
+
+    _install_stubs()
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.d_fine.dfine import build_model
+
+    if not DS.exists():
+        make_dataset()
+    images, targets = load_split("val")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from custom_d_fine_tpu.configs import get_model_config
+    from custom_d_fine_tpu.models.dfine import build_model as build_jax
+
+    cfg = get_model_config(SIZE)
+    _, variables = build_jax(cfg, num_classes=NUM_CLASSES, img_size=(IMG, IMG),
+                             train_batch=1)
+    template = {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]}
+
+    rows = []
+    for seed in seeds:
+        tpath = _seed_path(CONV_CKPT.replace(".pth", "_aug.pth"), seed)
+        ti = _seed_path(JAX_CONV.replace(".msgpack", "_aug_ti.msgpack"), seed)
+        fs = _seed_path(JAX_CONV.replace(".msgpack", "_aug.msgpack"), seed)
+        jpath, paired = (ti, True) if Path(ti).exists() else (fs, False)
         if not (Path(tpath).exists() and Path(jpath).exists()):
-            print(f"seed {seed}: artifacts missing, skipping")
+            print(f"seed {seed}: aug-pair artifacts missing, skipping")
             continue
         model = build_model(SIZE, num_classes=NUM_CLASSES,
                             enable_mask_head=False, device="cpu",
                             img_size=[IMG, IMG])
         model.load_state_dict(torch.load(tpath, map_location="cpu",
                                          weights_only=False))
-        print(f"seed {seed}: torch(EMA) eval...", flush=True)
-        tq_all.append(_quality(_torch_detections(model, images), targets))
+        print(f"seed {seed}: torch(EMA, aug-on) eval...", flush=True)
+        tq = _quality(_torch_detections(model, images), targets)
         ema = flax.serialization.from_bytes(template, Path(jpath).read_bytes())
-        print(f"seed {seed}: jax(EMA) eval...", flush=True)
-        jq_all.append(_quality(_jax_detections(ema, images), targets))
-        used_seeds.append(seed)
-        hpath = Path(_seed_path(JAX_CONV_HISTORY, seed))
-        history = json.loads(hpath.read_text()) if hpath.exists() else []
-        curves.append(" -> ".join(f"{h.get('mAP_50', 0):.3f}" for h in history))
+        print(f"seed {seed}: jax(EMA, aug-on{'-ti' if paired else ''}) "
+              "eval...", flush=True)
+        jq = _quality(_jax_detections(ema, images), targets)
+        rows.append((seed, paired, tq, jq))
 
-    assert used_seeds, "no trained seed artifacts found"
-    ti_results = []
-    for seed, tipath in ti_rows:
-        print(f"seed {seed}: jax TORCH-INIT transplant eval...", flush=True)
-        ema_ti = flax.serialization.from_bytes(template,
-                                               Path(tipath).read_bytes())
-        q = _quality(_jax_detections(ema_ti, images), targets)
-        ti_results.append((seed, q["mAP_50"]))
-    t50 = np.array([q["mAP_50"] for q in tq_all])
-    j50 = np.array([q["mAP_50"] for q in jq_all])
-    delta = abs(float(t50.mean()) - float(j50.mean()))
-    overlap = (len(used_seeds) > 1
-               and j50.max() >= t50.min() and t50.max() >= j50.min())
-    ok = delta <= 0.05 or overlap
-    result = {"seeds": used_seeds,
-              "torch_mAP_50": [round(float(v), 4) for v in t50],
-              "jax_mAP_50": [round(float(v), 4) for v in j50],
-              "mean_delta": round(delta, 4), "ranges_overlap": bool(overlap),
-              "pass": bool(ok)}
-    print(json.dumps(result, indent=2))
+    assert rows, "no aug-on artifacts found"
+    deltas = np.array([abs(t["mAP_50"] - j["mAP_50"]) for _, _, t, j in rows])
+    ok = bool(deltas.mean() <= 0.05)
+    print(json.dumps({
+        "seeds": [r[0] for r in rows],
+        "torch_mAP_50": [round(r[2]["mAP_50"], 4) for r in rows],
+        "jax_mAP_50": [round(r[3]["mAP_50"], 4) for r in rows],
+        "paired_init": [r[1] for r in rows],
+        "mean_delta": round(float(deltas.mean()), 4), "pass": ok}, indent=2))
 
-    per_seed_rows = "\n".join(
-        f"| {s} | {t['mAP_50']:.4f} | {j['mAP_50']:.4f} | "
-        f"{t['mAP']:.4f} | {j['mAP']:.4f} |"
-        for s, t, j in zip(used_seeds, tq_all, jq_all))
-    ti_block = ""
-    if ti_results:
-        ti_lines = "; ".join(
-            f"seed {s}: jax-with-torch-init {v:.4f} vs torch "
-            f"{tq_all[used_seeds.index(s)]['mAP_50']:.4f}"
-            for s, v in ti_results if s in used_seeds)
-        ti_block = f"""
-- **Init-transplant control** (`train_jax_conv ... torch_init`): the JAX arm
-  trained from the torch arm's EXACT init weights — isolating training
-  DYNAMICS from init distribution. {ti_lines}. With identical inits this
-  framework matches or beats the reference arm, i.e. the residual mean gap
-  above is init-lottery noise, not a dynamics defect (the generic init
-  distributions are matched by models/dfine.py:apply_torch_default_init;
-  per-seed draws still differ)."""
-    curve_lines = "\n".join(f"- seed {s}: {c or 'n/a'}"
-                            for s, c in zip(used_seeds, curves))
-    _write_section("conv", f"""
-**The convergence proof**: both frameworks trained FROM SCRATCH on the same
-synthetic set with the same recipe, and compared at the quality level — this
-jointly validates optimizer grouping (dfine.py:87-124), OneCycle schedule
-(train.py:203-221), warmup EMA (train.py:52-73), CDN denoising, the on-device
-JV matcher and the criterion as "training that converges equivalently"
-(SURVEY §7 hard part 6), which no forward/conversion-level parity test covers.
+    table = "\n".join(
+        f"| {s} | {'yes' if p else 'no'} | {t['mAP_50']:.4f} | "
+        f"{j['mAP_50']:.4f} | {j['mAP_50'] - t['mAP_50']:+.4f} |"
+        for s, p, t, j in rows)
+    _write_section("conv_aug", f"""
+Both arms trained under the REFERENCE-DEFAULT augmentation recipe
+(config.yaml:85-105: mosaic 0.8 with scale [0.5,1.5] / translate 0.2 /
+shear 2.0, closed for the last 2 epochs; flip 0.3; rotate/rotate90 0.05;
+photometrics at 0.01-0.02) — the recipe the reference actually trains with,
+which the augs-off section above cannot cover. Torch arm
+(`train_torch_conv ... augs`): mosaic/affine geometry IS the reference's own
+`src/dl/utils.py` (get_mosaic_coordinate/random_affine), photometrics
+reimplemented independently of this repo's aug code. JAX arm
+(`train_jax_conv ... augs`): this framework end-to-end — threaded Loader,
+data/mosaic.py, data/augs.py, letterbox — through the real Trainer. Same
+120-step recipe as the primary protocol; identical init weights where
+`paired` = yes. Evaluated on the clean 16-image held-out val split,
+top-300 postprocess.
 
-Protocol: D-FINE-{SIZE} {IMG}x{IMG}, {NUM_CLASSES} classes, random init both
-sides (no pretrained backbone — the sandbox has no egress), bs=4, 120
-optimizer steps, AdamW lr 4e-4 / backbone 2e-4 / wd 1e-4 / betas (0.9,0.999),
-OneCycleLR max_lr=8e-4 pct_start=0.1, grad clip 0.1, ModelEMA 0.9998 with
-warmup, fp32. Torch arm: the reference model driven by the reference's own
-training recipe (`train_torch_conv`). JAX arm: THIS framework end-to-end
-through the real Trainer (threaded Loader, jitted train step, orbax ckpts),
-augs/mosaic disabled to match the torch arm's raw-image diet. Both arms
-evaluate their final EMA weights on the held-out 16-image val split with the
-identical top-300 postprocess, over {len(used_seeds)} independent seed(s)
-per arm (init + batch sampling + denoising noise all reseeded).
-
-| seed | torch mAP@50 | jax mAP@50 | torch mAP | jax mAP |
+| seed | paired init | torch mAP@50 | jax mAP@50 | delta |
 |---|---|---|---|---|
-{per_seed_rows}
+{table}
 
-- mean mAP@50: torch {t50.mean():.4f} (range {t50.min():.3f}-{t50.max():.3f}),
-  jax {j50.mean():.4f} (range {j50.min():.3f}-{j50.max():.3f});
-  mean delta {delta:.4f}; per-seed ranges overlap: {overlap}.
-- JAX per-epoch val mAP@50 curves (real Trainer eval):
-{curve_lines}
-- Init/sampling differ by design (independent seeds; torch IID batches vs
-  Trainer epoch shuffles) — this is a quality-level A/B of independent
-  training runs, not a step-level numerics test (those live in
-  tools/criterion_parity.py, 25/25 terms; gradient-level parity in
-  tools/grad_parity.py).{ti_block}
-- Verdict: **{"PASS" if ok else "FAIL"}** (contract: mean mAP@50 delta <=
-  0.05, or per-seed ranges overlap — the 16-image val metric is
-  seed-noisy; ranges quantify it).
+- mean |delta| mAP@50 = **{float(deltas.mean()):.4f}**; contract <= 0.05.
+- Verdict: **{"PASS" if ok else "FAIL"}** — this is the end-to-end check of
+  mosaic/random_affine/letterbox/photometric parity as "training that
+  converges equivalently" (SURVEY §7 hard part 6).
 
 Reproduce (per seed s): `python tools/trained_parity.py train_torch_conv 120 s
-&& python tools/trained_parity.py train_jax_conv 120 s &&
-python tools/trained_parity.py eval_conv s0,s1,...`
+augs && python tools/trained_parity.py train_jax_conv 120 s torch_init augs &&
+python tools/trained_parity.py eval_conv_aug s`
 """)
-    print("wrote PARITY_TRAINED.md convergence section;",
-          "PASS" if ok else "FAIL")
+    print("wrote PARITY_TRAINED.md aug-on section;", "PASS" if ok else "FAIL")
     return ok
 
 
@@ -609,7 +967,8 @@ def _quality_segm(dets, targets, top=50):
 
 SECTION_MARK = {"seg": "## Segment path (mask head)",
                 "remap": "## Objects365 head-remap path",
-                "conv": "## Train-from-scratch convergence parity"}
+                "conv": "## Train-from-scratch convergence parity",
+                "conv_aug": "## Aug-on convergence parity"}
 
 
 def _write_section(key: str, body: str):
@@ -975,17 +1334,23 @@ if __name__ == "__main__":
         train(int(sys.argv[2]) if len(sys.argv) > 2 else 120, obj365=True)
     elif cmd == "train_torch_conv":
         train_torch_conv(int(sys.argv[2]) if len(sys.argv) > 2 else 120,
-                         seed=int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+                         seed=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+                         augs="augs" in sys.argv[4:])
     elif cmd == "train_jax_conv":
         train_jax_conv(int(sys.argv[2]) if len(sys.argv) > 2 else 120,
                        seed=int(sys.argv[3]) if len(sys.argv) > 3 else 0,
-                       torch_init="torch_init" in sys.argv[4:])
+                       torch_init="torch_init" in sys.argv[4:],
+                       augs="augs" in sys.argv[4:])
     elif cmd == "save_conv_init":
         save_conv_init(seed=int(sys.argv[2]) if len(sys.argv) > 2 else 0)
     elif cmd == "eval_conv":
         seeds = (tuple(int(s) for s in sys.argv[2].split(","))
                  if len(sys.argv) > 2 else (0,))
         sys.exit(0 if evaluate_conv(seeds) else 1)
+    elif cmd == "eval_conv_aug":
+        seeds = (tuple(int(s) for s in sys.argv[2].split(","))
+                 if len(sys.argv) > 2 else (0,))
+        sys.exit(0 if evaluate_conv_aug(seeds) else 1)
     elif cmd == "eval_seg":
         sys.exit(0 if evaluate_seg() else 1)
     elif cmd == "eval_remap":
