@@ -140,7 +140,12 @@ class DFineDataset:
             )
             sample["masks"] = masks
 
-        if self.mode == "train":
+        if self.mode == "train" and not use_mosaic:
+            # the reference applies the photometric/geometric aug stack ONLY
+            # on the non-mosaic path (dataset.py:420-447 self.transform);
+            # mosaic samples get normalize alone (dataset.py:341
+            # mosaic_transform = Compose(norm)) — found by the aug-ON
+            # convergence A/B (PARITY_TRAINED.md aug-on section)
             sample = apply_train_augs(sample, self.aug_cfg, rng)
 
         # resize / letterbox (reference :110-131; scaleup only in train)

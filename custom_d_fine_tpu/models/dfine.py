@@ -34,7 +34,8 @@ class DFINE(nn.Module):
     cfg: ModelConfig
     num_classes: int = 80
     msda_impl: str = "xla"
-    stem_impl: str = "conv"  # "dots": tap-dot stem convs in train graphs
+    stem_impl: str = "conv"  # "dots": tap-dot stem convs in train graphs;
+    # "s2d"/"s2d_all": space-to-depth rewrite of the k3/s2 stem convs
     fast_topk: bool = False  # serving: approx_max_k query selection
     deploy: bool = False  # reparam-fused inference graph (deploy/reparam.py)
     stem_external: bool = False  # serving: input is the precomputed stem output

@@ -222,7 +222,8 @@ class HGNetv2(nn.Module):
     # serving option: the input is already the stem output (computed by the
     # fused Pallas stem kernel, ops/pallas/stem.py) — skip StemBlock
     stem_external: bool = False
-    stem_impl: str = "conv"  # "dots": tap-dot stem convs in train graphs
+    stem_impl: str = "conv"  # "dots": tap-dot stem convs in train graphs;
+    # "s2d"/"s2d_all": space-to-depth rewrite of the k3/s2 stem convs
     dtype: Optional[Any] = None
 
     @nn.compact

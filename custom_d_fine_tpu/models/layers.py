@@ -245,6 +245,45 @@ def dot_conv(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     return acc.astype(x.dtype)
 
 
+def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray, pad,
+             dtype: Optional[Dtype]) -> jnp.ndarray:
+    """Stride-2 k3 conv as space-to-depth + 2x2/s1 conv (training stem path).
+
+    The classic TPU stem trick (MLPerf ResNet): a k3/s2 conv over C=3 puts 3
+    channels in the 128-lane minor dim and starves both the conv emitter and
+    its backward-filter pass. Re-expressing it on the 2x2-cell space-to-depth
+    view [B, H/2, W/2, 4C] turns the contraction into 2*2*4C taps (48 for
+    C=3) and halves the spatial extent, while the kernel is zero-embedded
+    into the 4x4 window the 2x2 cell conv covers — autodiff routes d/dW
+    through the embedding for free, so d/dW becomes a dense [4*4*C, Cout]
+    reduction instead of a starved conv-backward-filter.
+
+    Numerics: identical taps, one dot accumulation — same contract as
+    lax.conv up to reassociation. Parameter tree unchanged (caller passes
+    the nn.Conv-shaped [3,3,ci,co] kernel).
+    """
+    kh, kw, ci, co = kernel.shape
+    assert kh == 3 and kw == 3, "s2d path is specialized to k3/s2"
+    if dtype is not None:
+        x, kernel = x.astype(dtype), kernel.astype(dtype)
+    x = jnp.pad(x, ((0, 0), tuple(pad[0]), tuple(pad[1]), (0, 0)))
+    B, Hp, Wp, _ = x.shape
+    ho, wo = (Hp - kh) // 2 + 1, (Wp - kw) // 2 + 1
+    # cell grid must cover rows/cols [0, 2*(ho-1)+3) -> ho+1 cells of 2
+    Hc, Wc = ho + 1, wo + 1
+    x = jnp.pad(x, ((0, 0), (0, 2 * Hc - Hp), (0, 2 * Wc - Wp), (0, 0)))
+    x = x.reshape(B, Hc, 2, Wc, 2, ci).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, Hc, Wc, 4 * ci)
+    # zero-embed [3,3,ci,co] into the (R,r2,T,t2) cell layout: tap (r,t) ->
+    # cell (r//2, t//2), sub-position (r%2, t%2)
+    k4 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # [4,4,ci,co]
+    k4 = k4.reshape(2, 2, 2, 2, ci, co).transpose(0, 2, 1, 3, 4, 5)
+    k4 = k4.reshape(2, 2, 4 * ci, co)
+    return jax.lax.conv_general_dilated(
+        x, k4, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class LearnableAffineBlock(nn.Module):
     """Scalar scale*x + bias (reference hgnetv2.py:25-32)."""
 
@@ -289,6 +328,14 @@ class ConvBNAct(nn.Module):
             kern = _Kernel((self.kernel_size, self.kernel_size,
                             x.shape[-1], self.out_chs), name="conv")()
             x = dot_conv(x, kern, self.stride, pad, self.dtype)
+        elif (self.conv_impl in ("s2d", "s2d_all") and train
+              and self.groups == 1 and self.kernel_size == 3
+              and self.stride == 2
+              and (self.conv_impl == "s2d_all" or x.shape[-1] <= 4)):
+            # "s2d": space-to-depth rewrite of the C=3 stem1 conv only;
+            # "s2d_all": also the C=24 stem3 conv (see s2d_conv docstring)
+            kern = _Kernel((3, 3, x.shape[-1], self.out_chs), name="conv")()
+            x = s2d_conv(x, kern, pad, self.dtype)
         else:
             x = conv2d(
                 self.out_chs, self.kernel_size, strides=(self.stride, self.stride),

@@ -90,6 +90,31 @@ def test_dataset_samples_static_shapes(yolo_dataset):
         assert s["valid"].sum() <= 10
 
 
+def test_mosaic_samples_skip_photometric_augs(yolo_dataset, monkeypatch):
+    """The reference applies the photometric/geometric aug stack ONLY on the
+    non-mosaic path (dataset.py:420-447 self.transform); mosaic samples get
+    normalize alone (dataset.py:341). Found by the aug-ON convergence A/B:
+    augmenting mosaic outputs too skews 80% of the training diet."""
+    import custom_d_fine_tpu.data.dataset as ds_mod
+
+    calls = []
+    real = ds_mod.apply_train_augs
+    monkeypatch.setattr(ds_mod, "apply_train_augs",
+                        lambda s, cfg, rng: calls.append(1) or real(s, cfg, rng))
+    ds = DFineDataset(
+        root_path=yolo_dataset, names=[f"img_{i}.jpg" for i in range(8)],
+        img_size=(160, 160), mode="train", max_gt=10,
+        mosaic_cfg=MosaicConfig(mosaic_prob=1.0),
+    )
+    for i in range(4):
+        ds[i]
+    assert not calls, "mosaic samples must not pass through apply_train_augs"
+    ds.mosaic_prob = 0.0
+    for i in range(4):
+        ds[i]
+    assert len(calls) == 4, "non-mosaic train samples must be augmented"
+
+
 def test_segment_task_masks(yolo_dataset):
     ds = DFineDataset(
         root_path=yolo_dataset, names=["img_0.jpg"], img_size=(160, 160),

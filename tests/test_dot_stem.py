@@ -96,6 +96,76 @@ def test_stem_dots_grads_match():
                                    err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.parametrize("hw,ci,co", [
+    ((17, 17), 3, 8),   # stem1 geometry (odd in)
+    ((16, 16), 6, 8),   # stem3 geometry (even in)
+    ((15, 21), 3, 8),   # non-square odd
+])
+def test_s2d_conv_matches_lax_conv(hw, ci, co):
+    from custom_d_fine_tpu.models.layers import s2d_conv
+
+    rng = np.random.default_rng(4)
+    pad = [(1, 1), (1, 1)]
+    x = jnp.asarray(rng.standard_normal((2, *hw, ci), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, ci, co), dtype=np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [tuple(p) for p in pad],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = s2d_conv(x, w, pad, None)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["s2d", "s2d_all"])
+def test_stem_s2d_forward_stats_and_grads_match(impl):
+    """conv_impl="s2d" rewrites the stride-2 k3 stem convs (stem1 only for
+    "s2d" via the ci<=4 gate; +stem3 for "s2d_all") on the space-to-depth
+    view — same variable tree, values, batch stats, and grads as conv."""
+    conv = StemBlock(8, 16, conv_impl="conv")
+    s2d = StemBlock(8, 16, conv_impl=impl)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 32, 32, 3),
+                                                             dtype=np.float32))
+    v_conv = conv.init(jax.random.PRNGKey(0), x, train=True)
+    v_s2d = s2d.init(jax.random.PRNGKey(0), x, train=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_conv, v_s2d)
+
+    y_c, m_c = conv.apply(v_conv, x, train=True, mutable=["batch_stats"])
+    y_s, m_s = s2d.apply(v_conv, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_c),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        m_c["batch_stats"], m_s["batch_stats"])
+
+    cotan = jnp.asarray(np.random.default_rng(6).standard_normal((2, 8, 8, 16),
+                                                                 dtype=np.float32))
+
+    def loss(block):
+        def f(params):
+            y, _ = block.apply({"params": params,
+                                "batch_stats": v_conv["batch_stats"]},
+                               x, train=True, mutable=["batch_stats"])
+            return jnp.sum(y * cotan)
+        return f
+
+    g_c = jax.grad(loss(conv))(v_conv["params"])
+    g_s = jax.grad(loss(s2d))(v_conv["params"])
+    flat_s = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(g_s)}
+    for path, vc in jax.tree_util.tree_leaves_with_path(g_c):
+        np.testing.assert_allclose(
+            np.asarray(flat_s[jax.tree_util.keystr(path)]), np.asarray(vc),
+            rtol=1e-3, atol=3e-5, err_msg=jax.tree_util.keystr(path))
+    # eval mode ignores the impl entirely
+    np.testing.assert_array_equal(
+        np.asarray(conv.apply(v_conv, x, train=False)),
+        np.asarray(s2d.apply(v_conv, x, train=False)))
+
+
 def test_convbnact_dots_is_noop_for_grouped_conv():
     # grouped convs (HGStage downsample) must never take the dot path
     m = ConvBNAct(8, 3, stride=2, groups=8, conv_impl="dots")
