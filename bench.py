@@ -114,16 +114,28 @@ def main():
     # headline: pipelined steady-state latency per image — median of three
     # 300-call windows (the tunnel's scheduling jitter moves single windows
     # by ~5%; the median is the stable p50-style figure)
-    windows = []
-    for w in range(3):
+    # Transient-degradation hardening (observed 2026-08-20: right after the
+    # cold serving+train compiles, windows 1-2 of a 3-window run measured
+    # 4.2-4.8 ms while window 0 and every warm re-run measured ~2.52 — the
+    # tunnel/server needs a settling period after heavy compile traffic). If
+    # the 3-window spread is wide, keep adding windows (up to 9 total) so the
+    # median recovers once the transient passes.
+    def run_window() -> float:
         N = 300
         t0 = time.perf_counter()
         out = None
         for _ in range(N):
             out = infer(img)
         np.asarray(out["scores"])  # single stream: all prior calls completed
-        windows.append((time.perf_counter() - t0) * 1000 / N)
+        return (time.perf_counter() - t0) * 1000 / N
+
+    windows = []
+    for w in range(3):
+        windows.append(run_window())
         log(f"window {w}: {windows[-1]:.3f} ms/img")
+    while max(windows) / min(windows) > 1.15 and len(windows) < 9:
+        windows.append(run_window())
+        log(f"window {len(windows) - 1} (spread retry): {windows[-1]:.3f} ms/img")
     pipelined_ms = float(np.median(windows))
 
     # secondary: per-call latency including one host fetch round-trip

@@ -335,7 +335,7 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
     out = pl.pallas_call(
         kern,
         grid=(B, n_blocks),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.ANY)] + wspecs
+        in_specs=([pl.BlockSpec(memory_space=pl.ANY)] + wspecs
                   + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         out_specs=pl.BlockSpec((1, S // 2, W4, O), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
