@@ -165,6 +165,46 @@ def main():
     except OSError as e:
         log(f"sidecar write failed (non-fatal): {e!r}")
 
+    # Secondary: batched serving throughput at the measured optimum bs=16
+    # (sweep 2026-08-20, tools/bench_serve_batch.py: 400/426/432/449/470/449/
+    # 408 img/s at bs 1/2/4/8/16/32/64 — reference batched optimum is 138.1
+    # img/s at bs=4, README.md:167). Guarded: any failure or budget overrun
+    # leaves the headline row intact.
+    if os.environ.get("BENCH_SKIP_BATCHED"):
+        log("batched row skipped: BENCH_SKIP_BATCHED set")
+    elif time.time() - T_START > budget_s * 0.4:
+        log("batched row skipped: over 40% of budget already spent")
+    else:
+        try:
+            imgb = jax.device_put(
+                np.random.default_rng(0).integers(
+                    0, 256, (16, 640, 640, 3), np.uint8))
+            det = infer(imgb)  # same jit fn — new shape entry (cached)
+            np.asarray(det["scores"])
+            log("batched (bs=16) compile done; settling")
+            for _ in range(6):
+                det = infer(imgb)
+            np.asarray(det["scores"])
+
+            def bwin(n=20):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(n):
+                    out = infer(imgb)
+                np.asarray(out["scores"])
+                return (time.perf_counter() - t0) * 1000 / (n * 16)
+
+            bws = [bwin() for _ in range(3)]
+            while max(bws) / min(bws) > 1.15 and len(bws) < 9:
+                bws.append(bwin())
+                log(f"batched window (spread retry): {bws[-1]:.3f} ms/img")
+            bms = float(np.median(bws))
+            row["serving_batched_bs16_ms_per_img"] = round(bms, 3)
+            row["serving_batched_bs16_img_s"] = round(1000.0 / bms, 1)
+            log(f"batched row done: {1000.0 / bms:.1f} img/s @ bs16")
+        except Exception as e:  # noqa: BLE001 — keep the headline row alive
+            log(f"batched row failed (non-fatal): {e!r}")
+
     # Secondary: train throughput (BASELINE.md tracks img/s/chip train+infer).
     # Same production graph tools/bench_train.py measures, at the throughput-
     # optimal batch (16 since the separable MSDA bwd kernel; bs16 vs 8/32
