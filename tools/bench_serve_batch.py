@@ -37,9 +37,31 @@ def log(msg):
 def main():
     sizes = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1
                               else ("1", "2", "4", "8", "16"))]
+    import os
+
     from custom_d_fine_tpu.deploy.serving import build_serving
 
-    forward, _model, _variables = build_serving("m", 80, (640, 640))
+    kw = {}
+    if os.environ.get("SERVE_FUSED_STEM") == "0":
+        kw["use_fused_stem"] = False  # A/B: XLA's batched conv emitter
+        log("A/B: fused stem DISABLED (SERVE_FUSED_STEM=0)")
+    forward, _model, _variables = build_serving("m", 80, (640, 640), **kw)
+    if os.environ.get("SERVE_BF16_STAGES"):
+        # A/B: per-stage bf16 compute (batch-1 measured no win — XLA already
+        # runs conv passes in bf16 internally; batched may differ)
+        import jax.numpy as jnp
+        from custom_d_fine_tpu.deploy.serving import make_serving_forward
+        stages = os.environ["SERVE_BF16_STAGES"]
+        ov = {}
+        if "b" in stages:
+            ov["backbone_dtype"] = jnp.bfloat16
+        if "e" in stages:
+            ov["encoder_dtype"] = jnp.bfloat16
+        if "d" in stages:
+            ov["decoder_dtype"] = jnp.bfloat16
+        log(f"A/B: bf16 stage overrides {sorted(ov)} (SERVE_BF16_STAGES={stages})")
+        forward = make_serving_forward(_model.clone(**ov), _variables,
+                                       (640, 640), **kw)
     infer = jax.jit(forward)
     rng = np.random.default_rng(0)
     rows = []
