@@ -288,6 +288,17 @@ def fused_stem(x: jnp.ndarray, fw: Dict[str, jnp.ndarray],
     # S = stem1-level rows per grid step (block height / 2). Bigger blocks
     # amortize per-step overheads; 64-row blocks measured fastest at 640^2.
     S = 32 if H % 64 == 0 else 16
+    # device A/B knob: STEM_BLOCK_S overrides the block size when divisible
+    # (e.g. 64 -> 128-row blocks; VMEM intermediates scale with S)
+    _s_env = __import__("os").environ.get("STEM_BLOCK_S")
+    if _s_env:
+        try:
+            s_ov = int(_s_env)
+        except ValueError as e:
+            raise ValueError(
+                f"STEM_BLOCK_S={_s_env!r} is not an integer") from e
+        if H % (2 * s_ov) == 0:
+            S = s_ov
     n_blocks = H // (2 * S)
     W2 = W // 2
     W4 = W // 4
