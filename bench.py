@@ -172,8 +172,10 @@ def main():
     # leaves the headline row intact.
     if os.environ.get("BENCH_SKIP_BATCHED"):
         log("batched row skipped: BENCH_SKIP_BATCHED set")
-    elif time.time() - T_START > budget_s * 0.4:
-        log("batched row skipped: over 40% of budget already spent")
+    elif budget_s - (time.time() - T_START) < 60:
+        # the batched shape is normally a persistent-cache hit (~55 s incl.
+        # warmup); with less than that left, don't start it
+        log("batched row skipped: <60s of budget left")
     else:
         try:
             imgb = jax.device_put(
@@ -215,8 +217,14 @@ def main():
     elapsed = time.time() - T_START
     if os.environ.get("BENCH_SKIP_TRAIN"):
         log("train row skipped: BENCH_SKIP_TRAIN set")
-    elif elapsed > budget_s * 0.6:
-        log(f"train row skipped: {elapsed:.0f}s elapsed > 60% of budget")
+    elif budget_s - elapsed < 120:
+        # Attempting is safer than skipping: the watchdog below guarantees
+        # the (inference+batched) line prints at the deadline even if the
+        # train row hangs, so the only cost of a late attempt is the train
+        # row itself. Measured 2026-08-21: phase-time variance pushed the
+        # train-row start past the old 60%-of-budget gate (331s of 540) in a
+        # run that then finished the row with 45s to spare.
+        log(f"train row skipped: only {budget_s - elapsed:.0f}s of budget left")
         row["train_skipped"] = "budget"
     else:
         deadline = T_START + budget_s
