@@ -101,7 +101,12 @@ def _precompile(trainer, out_dir: Path, pid: int, nprocs: int):
             return jax.ShapeDtypeStruct(shape, dt, sharding=trainer.data_spec)
 
         batch = {
-            "images": sds((B, h, w, 3), jnp.float32),
+            # uint8 images = the production wire format (trainer.py flush()
+            # ships uint8, the step normalizes on device). This MUST match
+            # the executed graph: compiling the f32 variant here left the
+            # real first step compiling cold in both workers concurrently,
+            # which blew the 30s Gloo first-execution window (2026-08-21).
+            "images": sds((B, h, w, 3), jnp.uint8),
             "labels": sds((B, G), jnp.int32),
             "boxes": sds((B, G, 4), jnp.float32),
             "valid": sds((B, G), jnp.bool_),
@@ -121,6 +126,52 @@ def _precompile(trainer, out_dir: Path, pid: int, nprocs: int):
     if pid != 0:
         compile_all()  # persistent-cache hit on p0's entries
     _file_barrier(out_dir, "compiled", pid, nprocs)
+
+
+def _warm_execute(trainer, out_dir: Path, pid: int, nprocs: int):
+    """EXECUTE each collective-bearing program once, barrier-aligned.
+
+    Compilation (above) does not create Gloo communicator contexts — the
+    first EXECUTION does, and its rendezvous window is the same hard ~30s.
+    Observed 2026-08-21: with compiles pre-cached, the workers' first train
+    step still happened >30s apart (independent host-side epoch setup on a
+    contended 1-core host) and the early worker died in
+    `Gloo context initialization failed: DEADLINE_EXCEEDED: GetKeyValue()`.
+    Running one throwaway execution of the train + eval programs right after
+    a barrier pins the rendezvous to an aligned point; the real first step
+    then reuses the established contexts. The train step donates its state
+    arg, so it consumes a copy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ldc = max(1, trainer.mesh.size // jax.process_count())
+    B = -(-trainer.loader.batch_size // ldc) * ldc * jax.process_count()
+    h, w = trainer.img_size
+    G = trainer.loader.datasets["train"].max_gt
+    lb = B // jax.process_count()  # rows this process contributes
+
+    def sharded(local_np):
+        return jax.make_array_from_process_local_data(
+            trainer.data_spec, local_np,
+            (B,) + local_np.shape[1:])
+
+    batch = {
+        "images": sharded(np.zeros((lb, h, w, 3), np.uint8)),
+        "labels": sharded(np.zeros((lb, G), np.int32)),
+        "boxes": sharded(np.full((lb, G, 4), 0.5, np.float32)),
+        "valid": sharded(np.zeros((lb, G), bool)),
+        "image_valid": sharded(np.zeros((lb,), bool)),
+    }
+    state_copy = jax.tree.map(jnp.copy, trainer.state)  # donated -> copy
+    out_state, metrics = trainer.train_step(
+        state_copy, batch, jax.random.PRNGKey(0))
+    float(metrics["total_loss"])  # sync: forces the execution to finish
+    del out_state, state_copy
+    ev = trainer.eval_step(trainer.state,
+                           sharded(np.zeros((lb, h, w, 3), np.uint8)))
+    jax.tree.map(lambda x: np.asarray(x.addressable_shards[0].data), ev)
+    _file_barrier(out_dir, "warm_exec", pid, nprocs)
 
 
 def main():
@@ -189,6 +240,7 @@ def main():
     n_val_local = sum(b["images"].shape[0] for b in it)
 
     _precompile(trainer, out_dir, pid, nprocs)
+    _warm_execute(trainer, out_dir, pid, nprocs)
     _file_barrier(out_dir, "train", pid, nprocs)
     history = trainer.train()
     _file_barrier(out_dir, "final_eval", pid, nprocs)
