@@ -19,7 +19,7 @@ guard and the whole round lost its metric, BENCH_r04.json rc=124):
    captured tail;
  - the inference row is measured FIRST and persisted (stderr + a sidecar file)
    before the train row is attempted;
- - a wall-clock budget (BENCH_BUDGET_S, default 540 s) guards the optional
+ - a wall-clock budget (BENCH_BUDGET_S, default 840 s) guards the optional
    train row: if the budget is already spent the row is skipped, and a
    watchdog thread prints the inference-only JSON line and exits the process
    if the train attempt itself overruns. The driver's external timeout would
@@ -81,7 +81,12 @@ def guard_fast_topk():
 
 
 def main():
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    # 840s: measured 2026-08-21 phase costs are startup ~110-360s (tunnel
+    # backend-init variance) + serving ~90s + batched ~60s + train ~170-250s
+    # => worst case ~930s... capped at 840 so a HANG still prints the partial
+    # line before any plausible external timeout; the 540 default lost the
+    # train row to a watchdog fire after a 300s startup.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "840"))
     import jax
     import jax.numpy as jnp
 
@@ -217,13 +222,12 @@ def main():
     elapsed = time.time() - T_START
     if os.environ.get("BENCH_SKIP_TRAIN"):
         log("train row skipped: BENCH_SKIP_TRAIN set")
-    elif budget_s - elapsed < 120:
-        # Attempting is safer than skipping: the watchdog below guarantees
-        # the (inference+batched) line prints at the deadline even if the
-        # train row hangs, so the only cost of a late attempt is the train
-        # row itself. Measured 2026-08-21: phase-time variance pushed the
-        # train-row start past the old 60%-of-budget gate (331s of 540) in a
-        # run that then finished the row with 45s to spare.
+    elif budget_s - elapsed < 200:
+        # A warm train row measures in ~170-250s; with less than 200s left
+        # the watchdog would likely have to exit mid-program (which can wedge
+        # the tunnel for the NEXT process) — skip instead. Gate on REMAINING
+        # time, not elapsed fraction: startup (backend init) alone varies
+        # 110-360s run-to-run through the tunnel (measured 2026-08-21).
         log(f"train row skipped: only {budget_s - elapsed:.0f}s of budget left")
         row["train_skipped"] = "budget"
     else:
